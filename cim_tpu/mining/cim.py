@@ -1,0 +1,318 @@
+"""Complete Instances Mining (CIM) as fixed-shape, jit-able XLA ops.
+
+This is the TPU re-design of the reference's CIM_layer
+(lib/modeling/heads.py:222-502), whose hot path is a python loop over
+classes with a list-based greedy NMS (instance_nms, heads.py:237-258) and a
+numpy round-trip for anti-noise sampling (heads.py:437-474). Here:
+
+- seed selection + mask-IoU NMS are vmapped over classes, sharing one
+  fori_loop of K_seed steps (K_seed = ceil(p_seed * N_max), static);
+- complete-instance mining (containment via the asymmetric-IoU matrix,
+  detector-argmax per seed column) is a masked argmax, vmapped per class;
+- the order-dependent "higher-scoring class wins" update
+  (heads.py:397-402) is a lax.scan over classes in ascending order —
+  exactly the reference's iteration order over label.nonzero();
+- anti-noise resampling uses jax.random.categorical draws (the reference's
+  np.random.choice-with-replacement + unique, heads.py:455-461).
+
+All tensors are padded to N_max with a validity mask; the math on valid
+entries is identical to the reference's dynamic-shape computation (see
+tests/test_mining.py golden tests against a numpy oracle).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cim_tpu.ops.nms import greedy_nms_from_iou
+
+NEG = -1e30
+
+
+class MiningParams(NamedTuple):
+    """Thresholds of one CIM_layer (reference heads.py:223-230 and
+    model_builder.py:90-94: cls_thr = 0.25 + step_rate*k,
+    iou_thr = 0.5 + step_rate*k, nms_thr == cls_thr)."""
+
+    p_seed: float = 0.1
+    cls_thr: float = 0.25
+    iou_thr: float = 0.5
+    con_thr: float = 0.85
+    anti_noise: bool = True
+
+    @property
+    def nms_thr(self) -> float:
+        return self.cls_thr
+
+
+class MinedGT(NamedTuple):
+    gt_labels: jax.Array  # (N, C+1) one-hot mined pseudo-GT labels
+    gt_weights: jax.Array  # (N,) mined scores (-1 where not mined)
+    gt_mask: jax.Array  # (N,) bool, mined rows
+    asy_iou_flag: jax.Array  # (N,) bool, False = "big" proposal
+
+
+class PseudoLabels(NamedTuple):
+    pseudo_labels: jax.Array  # (N, C+1)
+    pseudo_iou_labels: jax.Array  # (N,)
+    loss_weights: jax.Array  # (N,)
+    has_gt: jax.Array  # () bool — mirrors the reference's None return
+
+
+def seed_count(p_seed: float, n_valid):
+    """keep_count = ceil(p_seed * N) with N the *valid* proposal count
+    (reference heads.py:332)."""
+    return jnp.ceil(p_seed * n_valid).astype(jnp.int32)
+
+
+def max_seeds(p_seed: float, n_max: int) -> int:
+    return int(math.ceil(p_seed * n_max))
+
+
+def _per_class_seeds_and_nms(cls_prob, iou_map, valid, keep_count, k_seed, nms_thr):
+    """For one class: top-k seed gather + greedy mask-IoU NMS.
+
+    cls_prob: (N,); returns (seed_idx (K,), keep_seed (K,) bool).
+    Vmapped over classes by the caller — the internal fori_loop of
+    greedy_nms_from_iou is shared across the class dimension.
+    """
+    masked = jnp.where(valid, cls_prob, NEG)
+    order = jnp.argsort(-masked)
+    seed_idx = order[:k_seed]  # static top-K slice
+    pos = jnp.arange(k_seed)
+    seed_valid = (pos < keep_count) & valid[seed_idx]
+    iou_seed = iou_map[seed_idx][:, seed_idx]
+    seed_scores = masked[seed_idx]
+    keep_seed = greedy_nms_from_iou(iou_seed, seed_scores, nms_thr, valid=seed_valid)
+    return seed_idx, keep_seed
+
+
+def cim_mine(
+    predict_cls,
+    predict_det,
+    labels,
+    iou_map,
+    asy_iou_map,
+    valid,
+    params: MiningParams,
+) -> MinedGT:
+    """CIM pseudo-GT mining (reference CIM_label, heads.py:319-407).
+
+    Args:
+      predict_cls: (N, C) class scores, background already stripped.
+      predict_det: (N, C) detector scores (class-specific) or (N, 1)
+        (class-agnostic).
+      labels: (C,) multi-hot image labels.
+      iou_map: (N, N) mask IoU matrix; asy_iou_map: (N, N) containment
+        matrix (asy[i, j] = extent to which i contains j).
+      valid: (N,) proposal validity.
+    """
+    n, c = predict_cls.shape
+    dtype = predict_cls.dtype
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    keep_count = seed_count(params.p_seed, n_valid)
+    k_seed = max_seeds(params.p_seed, n)
+
+    class_agnostic = predict_det.shape[-1] == 1
+    det = jnp.broadcast_to(predict_det, (n, c)) if class_agnostic else predict_det
+    preds = predict_cls * det
+
+    # big-proposal filter (heads.py:338): row i is "big" when it contains
+    # > 90% of the (valid) proposals.
+    vcol = valid.astype(dtype)
+    contain_counts = jnp.sum(
+        (asy_iou_map > params.con_thr).astype(dtype) * vcol[None, :], axis=-1
+    )
+    asy_iou_flag = (contain_counts < 0.9 * n_valid.astype(dtype)) & valid
+
+    # ---- phase A: per-class seeds + NMS (vmapped) ---------------------- #
+    seeds_fn = jax.vmap(
+        lambda probs: _per_class_seeds_and_nms(
+            probs, iou_map, valid, keep_count, k_seed, params.nms_thr
+        ),
+        in_axes=1,
+    )
+    seed_idx, keep_seed = seeds_fn(predict_cls)  # (C, K), (C, K)
+
+    # ---- phase B: containment mining + sequential class update -------- #
+    row_ok = (asy_iou_flag & valid).astype(dtype)  # (N,)
+
+    def body(carry, c_idx):
+        gt_labels, gt_weights = carry
+        s_idx = seed_idx[c_idx]  # (K,)
+        s_keep = keep_seed[c_idx]  # (K,)
+        det_c = det[:, c_idx]
+        preds_c = preds[:, c_idx]
+
+        asy_seed = asy_iou_map[:, s_idx]  # (N, K): rows contain seed cols
+        contain = (asy_seed > params.con_thr) & (row_ok[:, None] > 0)  # (N, K)
+        col_has = jnp.any(contain, axis=0) & s_keep  # (K,)
+        # detector-argmax per seed column among containing proposals
+        cand = jnp.where(contain, det_c[:, None], NEG)  # (N, K)
+        col_arg = jnp.argmax(cand, axis=0)  # (K,)
+        chosen = (
+            jnp.zeros((n,), bool).at[col_arg].max(col_has)
+        )  # union over columns == torch.unique(res_idx)
+
+        is_higher = preds_c > gt_weights
+        upd = chosen & is_higher & (labels[c_idx] > 0)
+        onehot = jnp.zeros((c + 1,), dtype).at[c_idx + 1].set(1.0)
+        gt_labels = jnp.where(upd[:, None], onehot[None, :], gt_labels)
+        gt_weights = jnp.where(upd, preds_c, gt_weights)
+        return (gt_labels, gt_weights), None
+
+    init = (
+        jnp.zeros((n, c + 1), dtype),
+        jnp.full((n,), -1.0, dtype),
+    )
+    (gt_labels, gt_weights), _ = jax.lax.scan(body, init, jnp.arange(c))
+    gt_mask = jnp.sum(gt_labels, axis=-1) > 0
+    return MinedGT(gt_labels, gt_weights, gt_mask, asy_iou_flag)
+
+
+def mist_mine(preds, labels, iou_map, valid, params: MiningParams) -> MinedGT:
+    """MIST fallback mining (reference MIST_label, heads.py:261-316;
+    arXiv:2004.04725): top-p seeds + NMS only, no containment step."""
+    n, c = preds.shape
+    dtype = preds.dtype
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    keep_count = seed_count(params.p_seed, n_valid)
+    k_seed = max_seeds(params.p_seed, n)
+
+    seeds_fn = jax.vmap(
+        lambda probs: _per_class_seeds_and_nms(
+            probs, iou_map, valid, keep_count, k_seed, params.nms_thr
+        ),
+        in_axes=1,
+    )
+    seed_idx, keep_seed = seeds_fn(preds)
+
+    def body(carry, c_idx):
+        gt_labels, gt_weights = carry
+        probs_c = preds[:, c_idx]
+        kept = jnp.zeros((n,), bool).at[seed_idx[c_idx]].max(keep_seed[c_idx])
+        is_higher = probs_c > gt_weights
+        upd = kept & is_higher & (labels[c_idx] > 0)
+        onehot = jnp.zeros((c + 1,), dtype).at[c_idx + 1].set(1.0)
+        gt_labels = jnp.where(upd[:, None], onehot[None, :], gt_labels)
+        gt_weights = jnp.where(upd, probs_c, gt_weights)
+        return (gt_labels, gt_weights), None
+
+    init = (jnp.zeros((n, c + 1), dtype), jnp.full((n,), -1.0, dtype))
+    (gt_labels, gt_weights), _ = jax.lax.scan(body, init, jnp.arange(c))
+    gt_mask = jnp.sum(gt_labels, axis=-1) > 0
+    return MinedGT(gt_labels, gt_weights, gt_mask, jnp.ones((n,), bool) & valid)
+
+
+def anti_noise_resample(mined: MinedGT, labels, rng_key) -> MinedGT:
+    """Anti-noise sampling (reference heads.py:437-474): per class, draw
+    n_c samples with replacement over that class's mined GT, weighted by
+    gt_weights; survivors are the union of draws."""
+    n, c1 = mined.gt_labels.shape
+    c = c1 - 1
+
+    def sample_one(key, member, weights):
+        n_c = jnp.sum(member.astype(jnp.int32))
+        pos = member & (weights > 0)
+        # np.random.choice(p=w/w.sum()); all-zero weights would raise in the
+        # reference — fall back to uniform over members instead.
+        logits = jnp.where(
+            jnp.any(pos),
+            jnp.where(pos, jnp.log(jnp.clip(weights, 1e-20)), NEG),
+            jnp.where(member, 0.0, NEG),
+        )
+        draws = jax.random.categorical(key, logits, shape=(n,))
+        t_ok = jnp.arange(n) < n_c
+        return jnp.zeros((n,), bool).at[draws].max(t_ok)
+
+    keys = jax.random.split(rng_key, c)
+    members = (mined.gt_labels[:, 1:] == 1).T & (labels > 0)[:, None]  # (C, N)
+    survive = jax.vmap(sample_one)(
+        keys, members, jnp.broadcast_to(mined.gt_weights, (c, n))
+    )  # (C, N)
+    resampled = jnp.any(members, axis=0)
+    keep = jnp.any(survive, axis=0) | ~resampled
+    gt_mask = mined.gt_mask & keep
+    gt_labels = mined.gt_labels * gt_mask[:, None]
+    gt_weights = jnp.where(gt_mask, mined.gt_weights, -1.0)
+    return MinedGT(gt_labels, gt_weights, gt_mask, mined.asy_iou_flag)
+
+
+def assign_pseudo_labels(
+    mined: MinedGT, iou_map, valid, params: MiningParams
+) -> PseudoLabels:
+    """IoU-based pseudo-label assignment (reference heads.py:476-502)."""
+    n, c1 = mined.gt_labels.shape
+    dtype = mined.gt_labels.dtype
+
+    ov = jnp.where(mined.gt_mask[None, :], iou_map, -1.0)
+    max_v = jnp.max(ov, axis=-1)  # (N,)
+    arg = jnp.argmax(ov, axis=-1)
+
+    pseudo_labels = mined.gt_labels[arg]
+    loss_weights = mined.gt_weights[arg]
+    pseudo_iou = jnp.maximum(max_v, 0.0)
+
+    # no overlap with any mined GT -> fully ignored
+    ignore = max_v <= 0.0
+    pseudo_labels = jnp.where(ignore[:, None], 0.0, pseudo_labels)
+    loss_weights = jnp.where(ignore, 0.0, loss_weights)
+
+    # background assignment
+    bg = (max_v < params.cls_thr) & ~ignore
+    bg_onehot = jnp.zeros((c1,), dtype).at[0].set(1.0)
+    pseudo_labels = jnp.where(bg[:, None], bg_onehot[None, :], pseudo_labels)
+
+    # big proposals forced to background (heads.py:493-498)
+    big = ~mined.asy_iou_flag
+    pseudo_labels = jnp.where(big[:, None], bg_onehot[None, :], pseudo_labels)
+
+    # binary iou target (heads.py:500-501)
+    pseudo_iou = (pseudo_iou > params.iou_thr).astype(dtype)
+
+    # padding rows contribute nothing
+    pseudo_labels = pseudo_labels * valid[:, None]
+    loss_weights = loss_weights * valid
+    pseudo_iou = pseudo_iou * valid
+
+    has_gt = jnp.any(mined.gt_mask)
+    return PseudoLabels(pseudo_labels, pseudo_iou, loss_weights, has_gt)
+
+
+def cim_layer(
+    predict_cls,
+    predict_det,
+    labels,
+    iou_map,
+    asy_iou_map,
+    valid,
+    params: MiningParams,
+    rng_key,
+    using_cim: bool = True,
+) -> PseudoLabels:
+    """Full CIM_layer forward (reference heads.py:409-502).
+
+    predict_cls / predict_det are (N, C+1) head outputs (bg at column 0) or
+    already-stripped (N, C); stripping follows heads.py:327-328.
+    """
+    c = labels.shape[-1]
+    if predict_cls.shape[-1] == c + 1:
+        predict_cls = predict_cls[:, 1:]
+    if predict_det is not None and predict_det.shape[-1] == c + 1:
+        predict_det = predict_det[:, 1:]
+
+    if using_cim:
+        mined = cim_mine(
+            predict_cls, predict_det, labels, iou_map, asy_iou_map, valid, params
+        )
+    else:
+        preds = predict_cls * predict_det if predict_det is not None else predict_cls
+        mined = mist_mine(preds, labels, iou_map, valid, params)
+
+    if params.anti_noise:
+        mined = anti_noise_resample(mined, labels, rng_key)
+
+    return assign_pseudo_labels(mined, iou_map, valid, params)

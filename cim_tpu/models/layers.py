@@ -1,0 +1,114 @@
+"""Shared model building blocks (flax.linen, NHWC, TPU-native).
+
+FrozenBatchNorm reproduces the reference's permanently-eval BatchNorm
+(lib/modeling/resnet50.py:63-77: running statistics never update, affine
+weights keep training unless the whole stage is frozen). Mean/var live in a
+separate "stats" collection so they are never touched by the optimizer;
+gamma/beta live in "params" and are frozen per-stage via the optimizer mask
+(cim_tpu/engine/optimizer.py), mirroring requires_grad=False +
+param-group selection in the reference (tools/train.py:282-311).
+
+torch_linear_init / torch_conv_init replicate pytorch's default
+kaiming-uniform(a=sqrt(5)) initialization so training dynamics match the
+reference heads (which rely on torch defaults).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def torch_kaiming_uniform(fan_in: int):
+    """U(-b, b) with b = sqrt(6 / fan_in) / sqrt(... ) — pytorch's
+    kaiming_uniform_(a=sqrt(5)) reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    * sqrt(3)... concretely: gain = sqrt(2/(1+5)) = sqrt(1/3);
+    bound = gain * sqrt(3/fan_in) = 1/sqrt(fan_in)."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Dense with pytorch default init (weight and bias U(-1/√fan_in, ·))."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        init = torch_kaiming_uniform(fan_in)
+        return nn.Dense(
+            self.features, kernel_init=init, bias_init=init, name="dense"
+        )(x)
+
+
+class TorchConv(nn.Module):
+    """nn.Conv (NHWC) with explicit symmetric padding and pytorch default init."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1] * self.kernel_size[0] * self.kernel_size[1]
+        init = torch_kaiming_uniform(fan_in)
+        pad = ((self.padding, self.padding), (self.padding, self.padding))
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=init,
+            bias_init=init,
+            name="conv",
+        )(x)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm permanently in eval mode.
+
+    y = gamma * (x - mean) / sqrt(var + eps) + beta with mean/var constant
+    ("stats" collection) and gamma/beta trainable ("params").
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "stats", "mean", lambda: jnp.zeros((self.features,))
+        ).value
+        var = self.variable(
+            "stats", "var", lambda: jnp.ones((self.features,))
+        ).value
+        inv = jax.lax.rsqrt(var + self.eps) * gamma
+        return x * inv + (beta - mean * inv)
+
+
+def max_pool_torch(x, window: int, stride: int, padding: int):
+    """torch-compatible max pooling (NHWC, explicit symmetric padding)."""
+    neg = jnp.finfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )

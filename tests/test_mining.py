@@ -1,0 +1,185 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cim_tpu.mining.cim import (
+    MinedGT,
+    MiningParams,
+    anti_noise_resample,
+    assign_pseudo_labels,
+    cim_layer,
+    cim_mine,
+    mist_mine,
+)
+from tests import oracle_cim
+
+
+def _make_instance(rng, n=60, c=20, n_labels=3, agnostic=False):
+    """Random but realistic CIM inputs: scores softmax-ish, consistent
+    iou/asy matrices from random masks."""
+    masks = rng.rand(n, 14, 14) > rng.uniform(0.4, 0.7)
+    flat = masks.reshape(n, -1).astype(np.float64)
+    inter = flat @ flat.T
+    area = flat.sum(-1)
+    union = area[:, None] + area[None, :] - inter
+    iou = (inter / np.maximum(union, 1)).astype(np.float32)
+    asy = (inter / np.maximum(area[None, :], 1)).astype(np.float32)
+
+    cls = rng.dirichlet(np.ones(c), size=n).astype(np.float32)
+    if agnostic:
+        det = rng.rand(n, 1).astype(np.float32)
+        det /= det.sum()
+    else:
+        det = rng.dirichlet(np.ones(n), size=c).T.astype(np.float32).copy()
+    labels = np.zeros(c, np.float32)
+    labels[rng.choice(c, n_labels, replace=False)] = 1
+    return cls, det, labels, iou, asy
+
+
+def _pad(x, pad_n, fill=0.0):
+    pad_width = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad_width, constant_values=fill)
+
+
+def _pad2(m, pad_n):
+    return np.pad(m, [(0, pad_n), (0, pad_n)], constant_values=0.0)
+
+
+@pytest.mark.parametrize("agnostic", [False, True])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cim_mine_matches_oracle(seed, agnostic):
+    rng = np.random.RandomState(seed)
+    cls, det, labels, iou, asy = _make_instance(rng, agnostic=agnostic)
+    n = cls.shape[0]
+    params = MiningParams(p_seed=0.1, cls_thr=0.25, iou_thr=0.5, con_thr=0.85)
+
+    want_lab, want_w, want_idx, want_flag = oracle_cim.cim_label(
+        cls, det, labels, iou, asy, params.p_seed, params.nms_thr, params.con_thr
+    )
+
+    pad = 17
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    got = cim_mine(
+        jnp.asarray(_pad(cls, pad)),
+        jnp.asarray(_pad(det, pad)),
+        jnp.asarray(labels),
+        jnp.asarray(_pad2(iou, pad)),
+        jnp.asarray(_pad2(asy, pad)),
+        jnp.asarray(valid),
+        params,
+    )
+    np.testing.assert_allclose(np.asarray(got.gt_labels)[:n], want_lab, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.gt_weights)[:n], want_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.gt_mask)[:n], want_idx)
+    np.testing.assert_array_equal(np.asarray(got.asy_iou_flag)[:n], want_flag)
+    # padding never mined
+    assert not np.asarray(got.gt_mask)[n:].any()
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_assignment_matches_oracle(seed):
+    rng = np.random.RandomState(seed)
+    cls, det, labels, iou, asy = _make_instance(rng)
+    n = cls.shape[0]
+    params = MiningParams(p_seed=0.1, cls_thr=0.35, iou_thr=0.6, con_thr=0.85)
+
+    glab, gw, gidx, gflag = oracle_cim.cim_label(
+        cls, det, labels, iou, asy, params.p_seed, params.nms_thr, params.con_thr
+    )
+    want = oracle_cim.assign_forward(glab, gw, gidx, gflag, iou, params.cls_thr, params.iou_thr)
+
+    pad = 9
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    mined = MinedGT(
+        jnp.asarray(_pad(glab, pad)),
+        jnp.asarray(_pad(gw, pad, fill=-1.0)),
+        jnp.asarray(_pad(gidx, pad, fill=False)),
+        jnp.asarray(_pad(gflag, pad, fill=False)),
+    )
+    got = assign_pseudo_labels(mined, jnp.asarray(_pad2(iou, pad)), jnp.asarray(valid), params)
+
+    if want[0] is None:
+        assert not bool(got.has_gt)
+        return
+    assert bool(got.has_gt)
+    np.testing.assert_allclose(np.asarray(got.pseudo_labels)[:n], want[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.pseudo_iou_labels)[:n], want[1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.loss_weights)[:n], want[2], rtol=1e-5, atol=1e-6)
+    # padding rows fully zeroed
+    assert np.abs(np.asarray(got.pseudo_labels)[n:]).sum() == 0
+
+
+def test_cim_layer_strips_background_column(rng):
+    cls, det, labels, iou, asy = _make_instance(rng)
+    n, c = cls.shape
+    # add bg column -> (N, C+1); cim_layer must strip it (heads.py:327-328)
+    cls_bg = np.concatenate([rng.rand(n, 1).astype(np.float32), cls], 1)
+    det_bg = np.concatenate([rng.rand(n, 1).astype(np.float32), det], 1)
+    params = MiningParams(anti_noise=False)
+    out_bg = cim_layer(
+        jnp.asarray(cls_bg), jnp.asarray(det_bg), jnp.asarray(labels),
+        jnp.asarray(iou), jnp.asarray(asy), jnp.ones(n, bool), params,
+        jax.random.PRNGKey(0),
+    )
+    out = cim_layer(
+        jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+        jnp.asarray(iou), jnp.asarray(asy), jnp.ones(n, bool), params,
+        jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_bg.pseudo_labels), np.asarray(out.pseudo_labels)
+    )
+
+
+def test_mist_mine_basic(rng):
+    cls, det, labels, iou, asy = _make_instance(rng)
+    n = cls.shape[0]
+    params = MiningParams()
+    mined = mist_mine(
+        jnp.asarray(cls * det), jnp.asarray(labels), jnp.asarray(iou),
+        jnp.ones(n, bool), params,
+    )
+    got_mask = np.asarray(mined.gt_mask)
+    assert got_mask.any()
+    # mined rows carry exactly one fg label of a present class
+    glab = np.asarray(mined.gt_labels)
+    assert (glab[got_mask].sum(-1) == 1).all()
+    mined_classes = np.nonzero(glab[:, 1:].sum(0))[0]
+    assert set(mined_classes).issubset(set(np.nonzero(labels)[0]))
+
+
+def test_anti_noise_resample_properties(rng):
+    cls, det, labels, iou, asy = _make_instance(rng, n_labels=2)
+    n = cls.shape[0]
+    params = MiningParams()
+    mined = cim_mine(
+        jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+        jnp.asarray(iou), jnp.asarray(asy), jnp.ones(n, bool), params,
+    )
+    before = np.asarray(mined.gt_mask)
+    out = anti_noise_resample(mined, jnp.asarray(labels), jax.random.PRNGKey(7))
+    after = np.asarray(out.gt_mask)
+    # sampling with replacement can only shrink (unique of draws ⊆ members)
+    assert (after <= before).all()
+    assert after.sum() >= 1
+    # weights/labels cleared exactly on dropped rows
+    assert (np.asarray(out.gt_weights)[~after] == -1).all()
+    assert np.abs(np.asarray(out.gt_labels)[~after]).sum() == 0
+
+    # highest-weight member of each class should survive with high probability
+    # across seeds (it is drawn with the largest probability each of n_c draws)
+    survived = 0
+    trials = 20
+    glab = np.asarray(mined.gt_labels)
+    gw = np.asarray(mined.gt_weights)
+    for s in range(trials):
+        o = anti_noise_resample(mined, jnp.asarray(labels), jax.random.PRNGKey(s))
+        m = np.asarray(o.gt_mask)
+        for c in np.nonzero(labels)[0]:
+            members = np.nonzero(glab[:, c + 1] == 1)[0]
+            if len(members) == 0:
+                continue
+            top = members[np.argmax(gw[members])]
+            survived += bool(m[top])
+    assert survived > 0.5 * trials  # loose sanity: top member usually kept
