@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: CIM training throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": R}
+
+Measures the full resnet50_voc training step (backbone fwd+bwd, RoIAlign
+over N=4096 padded proposals, 3 CIM mining branches, all four losses, SGD
+update, grad_accum=4) at the 480-scale image bucket, on synthetic data of
+production shape.
+
+vs_baseline anchors against REFERENCE_IMGS_PER_SEC_PER_DEVICE — the
+reference publishes no throughput (BASELINE.md); it trains 1 image/GPU
+with per-class python mining loops and per-image pickle IO in forward.
+5.0 img/s/GPU is our documented estimate for its 2-GPU V100 setup; the
+target in BASELINE.json is >= 4x per-device.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_IMGS_PER_SEC_PER_DEVICE = 5.0
+
+
+def main():
+    import jax
+
+    from cim_tpu.config import clone_cfg, load_cfg
+    from cim_tpu.data.synthetic import make_microbatch, make_train_batch
+    from cim_tpu.engine.train import Trainer
+
+    cfg = clone_cfg(
+        load_cfg(os.path.join(os.path.dirname(__file__), "configs", "resnet50_voc.yaml"))
+    )
+    cfg.TPU.DATA_PARALLEL = 1
+    accum = cfg.TPU.GRAD_ACCUM  # 4, the reference's iter_size
+
+    rng = np.random.RandomState(0)
+    # 480-scale bucket for a 500x375 VOC image -> 384x512 padded
+    kw = dict(
+        image_hw=(384, 512),
+        n_props=cfg.TPU.PROPOSAL_PAD,
+        n_valid=2000,  # typical COB proposal count per VOC image
+        num_classes=cfg.MODEL.NUM_CLASSES,
+    )
+    sample = make_microbatch(rng, **kw)
+    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+    batch = make_train_batch(rng, 1, accum, **kw)
+
+    # compile + warmup
+    m = trainer.step(batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(m)
+
+    n_steps = 10
+    t0 = time.time()
+    for i in range(n_steps):
+        m = trainer.step(batch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+
+    imgs_per_sec = n_steps * accum / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    imgs_per_sec / REFERENCE_IMGS_PER_SEC_PER_DEVICE, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

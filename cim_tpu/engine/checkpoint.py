@@ -1,0 +1,79 @@
+"""Checkpointing via orbax (reference: tools/train.py save_ckpt :126-142,
+load/resume :313-336; lib/utils/net.py load_ckpt non-strict :140-150).
+
+Layout: <output_dir>/ckpt/<step>/ with {params, opt_state(momentum+prev_lr),
+stats, step}. The crash-save behavior of the reference train loop
+(tools/train.py:450-456) is reproduced by Trainer loops calling
+save() from their except block.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cim_tpu.engine.train import TrainState
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+
+def save_ckpt(ckpt_dir: str, state: TrainState, stats: Any, extra: dict | None = None):
+    mgr = _manager(ckpt_dir)
+    payload = {
+        "params": state.params,
+        "momentum": state.opt_state.momentum,
+        "prev_lr": state.opt_state.prev_lr,
+        "stats": stats,
+        "extra": extra or {},
+    }
+    mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def load_ckpt(ckpt_dir: str, state: TrainState, stats: Any, step: int | None = None):
+    """Restore (state, stats). Non-strict on params like the reference
+    (missing keys keep their init values)."""
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"No checkpoint in {ckpt_dir}")
+    template = {
+        "params": state.params,
+        "momentum": state.opt_state.momentum,
+        "prev_lr": state.opt_state.prev_lr,
+        "stats": stats,
+        "extra": {},
+    }
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    from cim_tpu.engine.optimizer import SGDState
+
+    new_state = TrainState(
+        params=restored["params"],
+        opt_state=SGDState(
+            momentum=restored["momentum"], prev_lr=restored["prev_lr"]
+        ),
+        step=np.asarray(step, np.int32) + 1,  # resume at step+1 (train.py:328)
+    )
+    return new_state, restored["stats"]

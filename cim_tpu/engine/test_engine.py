@@ -1,0 +1,161 @@
+"""Inference engine: dataset loop producing detections/discovery pickles
+and dispatching evaluation.
+
+Behavior contracts: reference lib/core/test_engine.py —
+run_inference (:90-151), test_net (:247-331) loops the roidb calling
+im_detect_all, pickles {image -> {scores, boxes}} as detections.pkl
+(val) / discovery.pkl (train CorLoc), then applies
+box_results_with_nms_and_limit / box_results_for_corloc per image and
+calls task_evaluation.evaluate_all.
+
+TPU design: the reference's multi-GPU subprocess fan-out
+(multi_gpu_test_net_on_dataset :204-244 + utils/subprocess.py) is
+replaced by simple index-range sharding across jax processes
+(jax.process_index/process_count) — single-process here; no file-based
+result exchange is needed for the single-host case.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+
+from cim_tpu.data.json_dataset import JsonDataset
+from cim_tpu.engine.stats import Timer
+from cim_tpu.engine.test import (
+    Evaluator,
+    box_results_for_corloc,
+    box_results_with_nms_and_limit,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def get_roidb_and_dataset(cfg, dataset_name, proposal_file, ind_range=None):
+    """(reference test_engine.get_roidb_and_dataset :359-392)."""
+    dataset = JsonDataset(cfg, dataset_name)
+    roidb = dataset.get_roidb(gt=True, proposal_file=proposal_file)
+    total = len(roidb)
+    start, end = (0, total) if ind_range is None else ind_range
+    return roidb[start:end], dataset, start, end, total
+
+
+def empty_results(num_classes, num_images):
+    """all_boxes[cls][image] = N x 5 [x1,y1,x2,y2,score]
+    (reference test_engine.empty_results :394-402)."""
+    return [[[] for _ in range(num_images)] for _ in range(num_classes + 1)]
+
+
+def test_net(
+    cfg,
+    model,
+    variables,
+    dataset_name,
+    proposal_file,
+    output_dir,
+    ind_range=None,
+    check_corloc=False,
+    image_loader=None,
+):
+    """Single-device dataset loop. image_loader(entry) -> BGR image
+    (injectable for tests; defaults to cv2.imread)."""
+    roidb, dataset, start_ind, end_ind, total_num_images = (
+        get_roidb_and_dataset(cfg, dataset_name, proposal_file, ind_range)
+    )
+    evaluator = Evaluator(cfg, model, variables)
+    num_images = len(roidb)
+    all_scores = {}
+    timers = defaultdict(Timer)
+
+    if image_loader is None:
+
+        def image_loader(entry):
+            import cv2
+
+            im = cv2.imread(entry["image"])
+            assert im is not None, f"cannot read {entry['image']}"
+            return im
+
+    for i, entry in enumerate(roidb):
+        im = image_loader(entry)
+        timers["im_detect_bbox"].tic()
+        scores, boxes = evaluator.im_detect_all(
+            im, entry["boxes"], entry["masks"]
+        )
+        timers["im_detect_bbox"].toc()
+        all_scores[entry["image"]] = {"scores": scores, "boxes": boxes}
+        if i % 10 == 0:
+            ave = timers["im_detect_bbox"].average_time
+            eta = (num_images - i - 1) * ave
+            logger.info(
+                "im_detect: range [%d, %d] of %d: %d/%d %.3fs (eta: %ds)",
+                start_ind + 1, end_ind, total_num_images, start_ind + i + 1,
+                start_ind + num_images, ave, int(eta),
+            )
+
+    det_name = "discovery.pkl" if check_corloc else "detections.pkl"
+    if ind_range is not None:
+        det_name = f"{det_name[:-4]}_range_{ind_range[0]}_{ind_range[1]}.pkl"
+    os.makedirs(output_dir, exist_ok=True)
+    det_file = os.path.join(output_dir, det_name)
+    with open(det_file, "wb") as f:
+        pickle.dump(all_scores, f, pickle.HIGHEST_PROTOCOL)
+    logger.info("Wrote detections to: %s", os.path.abspath(det_file))
+    return all_scores, roidb, dataset
+
+
+def post_process_results(cfg, all_scores, roidb, dataset, check_corloc=False):
+    """Per-image NMS+limit (or CorLoc argmax) -> all_boxes
+    (reference test_engine.py:188-197)."""
+    num_images = len(roidb)
+    all_boxes = empty_results(cfg.MODEL.NUM_CLASSES, num_images)
+    for i, entry in enumerate(roidb):
+        rec = all_scores[entry["image"]]
+        scores, boxes = rec["scores"], rec["boxes"]
+        if check_corloc:
+            _, _, cls_boxes_i = box_results_for_corloc(cfg, scores, boxes)
+        else:
+            _, _, cls_boxes_i = box_results_with_nms_and_limit(cfg, scores, boxes)
+        for j in range(1, cfg.MODEL.NUM_CLASSES + 1):
+            all_boxes[j][i] = cls_boxes_i[j]
+    return all_boxes
+
+
+def run_inference(
+    cfg,
+    model,
+    variables,
+    output_dir,
+    check_corloc=False,
+    check_expected_results=False,
+    image_loader=None,
+):
+    """Top-level inference + evaluation (reference run_inference :90-151)."""
+    from cim_tpu.evaluation import task_evaluation
+
+    dataset_name = cfg.TEST.DATASETS[0]
+    proposal_file = (
+        cfg.TEST.PROPOSAL_FILES[0] if cfg.TEST.PROPOSAL_FILES else None
+    )
+    all_scores, roidb, dataset = test_net(
+        cfg, model, variables, dataset_name, proposal_file, output_dir,
+        check_corloc=check_corloc, image_loader=image_loader,
+    )
+    all_boxes = post_process_results(
+        cfg, all_scores, roidb, dataset, check_corloc
+    )
+    results = task_evaluation.evaluate_all(
+        dataset, all_boxes, output_dir, test_corloc=check_corloc
+    )
+    if check_expected_results and cfg.EXPECTED_RESULTS:
+        failures = task_evaluation.check_expected_results(
+            results,
+            cfg.EXPECTED_RESULTS,
+            atol=cfg.EXPECTED_RESULTS_ATOL,
+            rtol=cfg.EXPECTED_RESULTS_RTOL,
+        )
+        assert not failures, failures
+    return results, all_boxes, all_scores

@@ -32,6 +32,13 @@ from cim_tpu.ops.nms import greedy_nms_from_iou
 NEG = -1e30
 
 
+def _vzero(x):
+    """A zero scalar that inherits x's varying-manual-axes (vma) under
+    shard_map, so scan/loop carries initialized from constants type-check
+    when the body output depends on sharded data."""
+    return jnp.sum(x) * 0.0
+
+
 class MiningParams(NamedTuple):
     """Thresholds of one CIM_layer (reference heads.py:223-230 and
     model_builder.py:90-94: cls_thr = 0.25 + step_rate*k,
@@ -164,9 +171,10 @@ def cim_mine(
         gt_weights = jnp.where(upd, preds_c, gt_weights)
         return (gt_labels, gt_weights), None
 
+    vz = _vzero(predict_cls)
     init = (
-        jnp.zeros((n, c + 1), dtype),
-        jnp.full((n,), -1.0, dtype),
+        jnp.zeros((n, c + 1), dtype) + vz,
+        jnp.full((n,), -1.0, dtype) + vz,
     )
     (gt_labels, gt_weights), _ = jax.lax.scan(body, init, jnp.arange(c))
     gt_mask = jnp.sum(gt_labels, axis=-1) > 0
@@ -201,7 +209,8 @@ def mist_mine(preds, labels, iou_map, valid, params: MiningParams) -> MinedGT:
         gt_weights = jnp.where(upd, probs_c, gt_weights)
         return (gt_labels, gt_weights), None
 
-    init = (jnp.zeros((n, c + 1), dtype), jnp.full((n,), -1.0, dtype))
+    vz = _vzero(preds)
+    init = (jnp.zeros((n, c + 1), dtype) + vz, jnp.full((n,), -1.0, dtype) + vz)
     (gt_labels, gt_weights), _ = jax.lax.scan(body, init, jnp.arange(c))
     gt_mask = jnp.sum(gt_labels, axis=-1) > 0
     return MinedGT(gt_labels, gt_weights, gt_mask, jnp.ones((n,), bool) & valid)

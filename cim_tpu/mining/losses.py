@@ -14,6 +14,7 @@ Shapes:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-6
@@ -153,10 +154,12 @@ def pcl_loss(predict_cls, mat, labels, valid, max_clusters: int = 64):
     # (reference heads.py:14-21); 0 when absent -> matches no cid below.
     bg_ind = jnp.max(mat[:, 0])
 
-    total = jnp.zeros((), predict_cls.dtype)
-    fg_bg_num = jnp.asarray(1e-6, predict_cls.dtype)
+    # background-branch per-row BCE is cluster-independent: hoist it
+    gt_tmp = (mat != 0).astype(pred.dtype)
+    row_bce = jnp.mean(_bce(pred, jnp.clip(gt_tmp, 0, 1)), axis=1)  # (N,)
 
-    for cid in range(1, max_clusters + 1):
+    def body(cid, carry):
+        total, fg_bg_num = carry
         tf = mat == cid  # (N, C+1)
         member = jnp.any(tf, axis=1) & valid  # (N,)
         count = jnp.sum(member.astype(pred.dtype))
@@ -165,16 +168,22 @@ def pcl_loss(predict_cls, mat, labels, valid, max_clusters: int = 64):
 
         # foreground branch: mean prediction over members vs. cluster classes
         col_ind = jnp.any(tf, axis=0).astype(pred.dtype)  # (C+1,)
-        mean_vec = jnp.sum(pred * member[:, None], axis=0) / jnp.maximum(count, 1.0)
+        mean_vec = jnp.sum(pred * member[:, None], axis=0) / jnp.maximum(
+            count, 1.0
+        )
         fg_loss = count * jnp.mean(_bce(mean_vec, jnp.clip(col_ind, 0, 1)))
 
-        # background branch: per-row BCE against (mat != 0)
-        gt_tmp = (mat != 0).astype(pred.dtype)
-        row_bce = jnp.mean(_bce(pred, jnp.clip(gt_tmp, 0, 1)), axis=1)  # (N,)
-        bg_loss = jnp.sum(row_bce * member)  # == count * mean over members
+        # background branch (== count * mean BCE over member rows)
+        bg_loss = jnp.sum(row_bce * member)
 
         contrib = jnp.where(is_bg, bg_loss, fg_loss)
         total = total + jnp.where(present, contrib, 0.0)
         fg_bg_num = fg_bg_num + jnp.where(present, count, 0.0)
+        return total, fg_bg_num
 
+    init = (
+        jnp.zeros((), predict_cls.dtype) + jnp.sum(pred) * 0.0,
+        jnp.asarray(1e-6, predict_cls.dtype) + jnp.sum(pred) * 0.0,
+    )
+    total, fg_bg_num = jax.lax.fori_loop(1, max_clusters + 1, body, init)
     return 12.0 * total / fg_bg_num

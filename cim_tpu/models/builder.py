@@ -1,0 +1,140 @@
+"""Top-level CIM model (the reference's Generalized_RCNN,
+lib/modeling/model_builder.py:71-263, re-designed functional).
+
+Differences by design:
+- pure flax module: forward returns head scores only; mining + losses are
+  pure functions applied in the train step (cim_tpu/engine/train.py) —
+  the reference loads per-image IoU pickles *inside* forward
+  (model_builder.py:147-159); here those matrices arrive with the batch
+  from the host input pipeline;
+- the cfg string factory (model_builder.get_func :16) maps to static
+  module selection below;
+- single padded proposal tensor (N_max, ...) + validity mask instead of
+  dynamic per-image proposal counts.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cim_tpu.models.heads import ClsIouHead
+from cim_tpu.models.mask_fuse import MaskFuse
+from cim_tpu.models.resnet import ResNet50C4
+from cim_tpu.models.resnet import frozen_param_paths as resnet_frozen
+from cim_tpu.models.vgg import DilatedVGG16
+from cim_tpu.models.vgg import frozen_param_paths as vgg_frozen
+
+BACKBONES = {
+    # reference cfg.MODEL.CONV_BODY strings -> constructors
+    "resnet50.torch_resnet50": ResNet50C4,
+    "vgg16.dilated_conv5_body": DilatedVGG16,
+    # HRNet registered by cim_tpu.models.hrnet at import (heavier module)
+}
+
+
+def register_backbone(name, ctor):
+    BACKBONES[name] = ctor
+
+
+class CIMModel(nn.Module):
+    """Conv body -> MaskFuse -> cls/iou heads.
+
+    __call__(image (H, W, 3), rois (N, 4), masks (N, 7, 7), valid (N,))
+      -> dict with predict_cls/predict_det (N, C+1),
+         refine_cls/refine_iou (K, N, C+1).
+    """
+
+    conv_body: str = "resnet50.torch_resnet50"
+    num_classes: int = 20
+    refine_times: int = 3
+    mlp_head_dim: int = 4096
+    roi_size: int = 7
+    roi_method: str = "RoIAlign"
+    sampling_ratio: int = 0
+    max_adaptive_grid: int = 2
+    remat_backbone: bool = False
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        try:
+            ctor = BACKBONES[self.conv_body]
+        except KeyError:
+            if self.conv_body.startswith("HRNet"):
+                from cim_tpu.models import hrnet  # noqa: F401  (self-registers)
+
+                ctor = BACKBONES[self.conv_body]
+            else:
+                raise ValueError(f"Unknown CONV_BODY: {self.conv_body}")
+        if self.remat_backbone:
+            # trade FLOPs for HBM on large TTA scales (jax.checkpoint)
+            ctor = nn.remat(ctor)
+        self.backbone = ctor(dtype=self.compute_dtype, name="conv_body")
+        self.box_head = MaskFuse(
+            dim_in=BACKBONES[self.conv_body].dim_out,
+            spatial_scale=BACKBONES[self.conv_body].spatial_scale,
+            hidden_dim=self.mlp_head_dim,
+            roi_size=self.roi_size,
+            roi_method=self.roi_method,
+            sampling_ratio=self.sampling_ratio,
+            max_adaptive_grid=self.max_adaptive_grid,
+            dtype=self.compute_dtype,
+            name="box_head",
+        )
+        self.cls_iou = ClsIouHead(
+            num_classes=self.num_classes,
+            refine_times=self.refine_times,
+            name="cls_iou",
+        )
+
+    def __call__(self, image, rois, masks, valid) -> Dict[str, jax.Array]:
+        x = image.astype(self.compute_dtype)[None]  # (1, H, W, 3)
+        feat = self.backbone(x)[0]  # (h, w, C)
+        # RoIAlign + heads in f32 (bilinear weights + softmax stability)
+        feat = feat.astype(jnp.float32)
+        seg_x = self.box_head(feat, rois, masks)
+        predict_cls, predict_det, refine_cls, refine_iou = self.cls_iou(
+            seg_x, valid
+        )
+        return {
+            "predict_cls": predict_cls,
+            "predict_det": predict_det,
+            "refine_cls": refine_cls,
+            "refine_iou": refine_iou,
+            "blob_conv": feat,
+        }
+
+
+def build_model(cfg) -> CIMModel:
+    """Construct a CIMModel from a cim_tpu.config AttrDict."""
+    return CIMModel(
+        conv_body=cfg.MODEL.CONV_BODY,
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        refine_times=cfg.REFINE_TIMES,
+        mlp_head_dim=cfg.FAST_RCNN.MLP_HEAD_DIM,
+        roi_size=cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+        roi_method=cfg.FAST_RCNN.ROI_XFORM_METHOD,
+        sampling_ratio=cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+        max_adaptive_grid=cfg.TPU.MAX_ADAPTIVE_GRID,
+        remat_backbone=cfg.TPU.REMAT_BACKBONE,
+        compute_dtype=jnp.bfloat16
+        if cfg.TPU.PRECISION == "bf16_compute"
+        else jnp.float32,
+    )
+
+
+def frozen_paths_for(cfg):
+    """Parameter path prefixes (under 'conv_body') to freeze, mirroring
+    FREEZE_AT (reference resnet50.py:53-57, vgg16.py:86-89)."""
+    body = cfg.MODEL.CONV_BODY
+    if body.startswith("resnet50"):
+        return resnet_frozen(cfg.ResNet.FREEZE_AT)
+    if body.startswith("vgg16"):
+        return vgg_frozen(cfg.VGG.FREEZE_AT)
+    if body.startswith("HRNet"):
+        from cim_tpu.models.hrnet import frozen_param_paths
+
+        return frozen_param_paths(cfg.HRNET.FREEZE_AT)
+    return []

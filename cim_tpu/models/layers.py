@@ -15,7 +15,7 @@ reference heads (which rely on torch defaults).
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -36,16 +36,21 @@ def torch_kaiming_uniform(fan_in: int):
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with pytorch default init (weight and bias U(-1/√fan_in, ·))."""
+    """nn.Dense with pytorch default init (weight and bias U(-1/√fan_in, ·)).
+
+    ``dtype``: computation dtype (params stay float32; bfloat16 compute puts
+    the matmul on the MXU at full rate)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         init = torch_kaiming_uniform(fan_in)
         return nn.Dense(
-            self.features, kernel_init=init, bias_init=init, name="dense"
+            self.features, kernel_init=init, bias_init=init, dtype=self.dtype,
+            name="dense",
         )(x)
 
 
@@ -58,6 +63,7 @@ class TorchConv(nn.Module):
     padding: int = 0
     dilation: int = 1
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -73,6 +79,7 @@ class TorchConv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=init,
             bias_init=init,
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -98,17 +105,15 @@ class FrozenBatchNorm(nn.Module):
             "stats", "var", lambda: jnp.ones((self.features,))
         ).value
         inv = jax.lax.rsqrt(var + self.eps) * gamma
-        return x * inv + (beta - mean * inv)
+        off = beta - mean * inv
+        return x * inv.astype(x.dtype) + off.astype(x.dtype)
 
 
 def max_pool_torch(x, window: int, stride: int, padding: int):
     """torch-compatible max pooling (NHWC, explicit symmetric padding)."""
-    neg = jnp.finfo(x.dtype).min
-    return jax.lax.reduce_window(
+    return nn.max_pool(
         x,
-        neg,
-        jax.lax.max,
-        (1, window, window, 1),
-        (1, stride, stride, 1),
-        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        window_shape=(window, window),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
     )

@@ -1,0 +1,104 @@
+"""ResNet-50-C4 backbone (flax.linen, NHWC).
+
+Architecture contract: reference lib/modeling/resnet50.py:17-91 — the
+torchvision resnet50 trunk cut after layer3 (res4): conv1/bn/relu/maxpool +
+layer1(3 bottlenecks, 256) + layer2(4, 512, /2) + layer3(6, 1024, /2);
+dim_out 1024, stride 1/16. BatchNorm is permanently frozen (eval mode,
+reference :63-77) — here FrozenBatchNorm with constant statistics.
+Stage freezing (FREEZE_AT, reference :53-57) is enforced by the optimizer
+parameter mask, see cim_tpu/engine/optimizer.py.
+
+Stride placement follows torchvision's resnet50 (v1.5): the 3x3 conv of the
+first bottleneck in a stage carries the stride.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+
+from cim_tpu.models.layers import FrozenBatchNorm, TorchConv, max_pool_torch
+
+
+class Bottleneck(nn.Module):
+    planes: int  # mid width; out = 4 * planes
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = TorchConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = TorchConv(
+            self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = TorchConv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+
+        if self.downsample:
+            identity = TorchConv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(identity)
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class ResNetStage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(
+            self.planes, stride=self.stride, downsample=True, dtype=self.dtype,
+            name="block0",
+        )(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, dtype=self.dtype, name=f"block{i}")(x)
+        return x
+
+
+class ResNet50C4(nn.Module):
+    """Stages res1..res4; returns the stride-16, 1024-channel feature map."""
+
+    block_counts: Sequence[int] = (3, 4, 6)
+    dtype: Any = None
+
+    dim_out: int = 1024
+    spatial_scale: float = 1.0 / 16.0
+
+    @nn.compact
+    def __call__(self, x):
+        # res1: 7x7/2 + maxpool 3x3/2
+        x = TorchConv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            dtype=self.dtype, name="res1_conv",
+        )(x)
+        x = FrozenBatchNorm(64, name="res1_bn")(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2, 1)
+        # res2..res4
+        x = ResNetStage(64, self.block_counts[0], 1, dtype=self.dtype, name="res2")(x)
+        x = ResNetStage(128, self.block_counts[1], 2, dtype=self.dtype, name="res3")(x)
+        x = ResNetStage(256, self.block_counts[2], 2, dtype=self.dtype, name="res4")(x)
+        return x
+
+
+def frozen_param_paths(freeze_at: int):
+    """Flattened-path prefixes whose params must not train, matching the
+    reference's FREEZE_AT loop (resnet50.py:53-57). BN statistics are
+    frozen structurally (stats collection)."""
+    prefixes = []
+    for i in range(1, freeze_at + 1):
+        prefixes.append(f"res{i}")
+    return prefixes

@@ -61,7 +61,9 @@ def greedy_nms_from_iou(iou, scores, thresh, valid=None):
         newly = jnp.logical_and(jnp.logical_and(kept_i, row), pos > i)
         return jnp.logical_or(suppressed, newly)
 
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros((n,), dtype=bool))
+    # init derived from valid_s (all-False) so its sharding/vma matches the
+    # loop body output under shard_map (a literal zeros() would be unvarying)
+    suppressed = jax.lax.fori_loop(0, n, body, valid_s & ~valid_s)
     keep_sorted = jnp.logical_and(~suppressed, valid_s)
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
     return keep

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Inference + detection-eval CLI (reference tools/test_net.py).
+
+Runs TTA inference over the test (or train, for CorLoc) set, writes
+detections.pkl / discovery.pkl, applies NMS post-processing and VOC/COCO
+detection evaluation.
+
+Example:
+  python tools/test_net.py --cfg configs/resnet50_voc.yaml \
+      --load_ckpt Outputs/resnet50_voc/ckpt --dataset voc2012sbdval
+"""
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logger = logging.getLogger("tools.test_net")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Test CIM (TPU)")
+    parser.add_argument("--dataset",
+                        help="voc2012sbdval | voc2012trainaug | coco2017val")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--set", dest="set_cfgs", nargs="+", default=None)
+    parser.add_argument("--load_ckpt", help="checkpoint directory")
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--range", nargs=2, type=int, default=None,
+                        help="start end image index range")
+    parser.add_argument("--wait", action="store_true",
+                        help="wait for the checkpoint to appear")
+    return parser.parse_args()
+
+
+def main():
+    from cim_tpu.config import assert_and_infer_cfg, cfg_from_file, cfg_from_list, get_default_cfg
+    from cim_tpu.engine.stats import setup_logging
+
+    setup_logging()
+    args = parse_args()
+
+    cfg = get_default_cfg()
+    cfg_from_file(cfg, args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(cfg, args.set_cfgs)
+
+    check_corloc = False
+    if args.dataset == "voc2012sbdval":
+        cfg.TEST.DATASETS = ("voc_2012_sbdval",)
+        cfg.MODEL.NUM_CLASSES = 20
+    elif args.dataset == "voc2012trainaug":
+        cfg.TEST.DATASETS = ("voc_2012_trainaug",)
+        cfg.MODEL.NUM_CLASSES = 20
+        check_corloc = True  # train-set inference = discovery/CorLoc protocol
+    elif args.dataset == "coco2017val":
+        cfg.TEST.DATASETS = ("coco_2017_val",)
+        cfg.MODEL.NUM_CLASSES = 80
+    elif args.dataset == "coco2017testdev":
+        cfg.TEST.DATASETS = ("coco_2017_test-dev",)
+        cfg.MODEL.NUM_CLASSES = 80
+    elif args.dataset is not None:
+        raise ValueError(f"Unexpected args.dataset: {args.dataset}")
+    assert_and_infer_cfg(cfg, make_immutable=False)
+
+    import jax
+
+    from cim_tpu.engine.checkpoint import latest_step, load_ckpt
+    from cim_tpu.engine.test_engine import run_inference
+    from cim_tpu.engine.train import Trainer
+    from cim_tpu.data.synthetic import make_microbatch
+    import numpy as np
+
+    # build the model and restore weights
+    rng = np.random.RandomState(0)
+    sample = make_microbatch(
+        rng, image_hw=(128, 128), n_props=64, n_valid=64,
+        num_classes=cfg.MODEL.NUM_CLASSES,
+    )
+    saved_pad = cfg.TPU.PROPOSAL_PAD
+    cfg.TPU.PROPOSAL_PAD = 64
+    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+    cfg.TPU.PROPOSAL_PAD = saved_pad
+
+    if args.load_ckpt:
+        if args.wait:
+            # reference test_net.py:156-163 busy-waits for the ckpt file
+            while latest_step(args.load_ckpt) is None:
+                logger.info("Waiting for checkpoint in %s ...", args.load_ckpt)
+                time.sleep(10)
+        state, stats = load_ckpt(args.load_ckpt, trainer.state, trainer.stats)
+        trainer.state = state
+        trainer.stats = stats
+        logger.info("Loaded checkpoint at step %d", int(state.step) - 1)
+
+    variables = {"params": trainer.state.params, "stats": trainer.stats}
+    output_dir = args.output_dir or os.path.join(
+        cfg.OUTPUT_DIR,
+        os.path.splitext(os.path.basename(args.cfg_file))[0],
+        "test",
+    )
+    results, _, _ = run_inference(
+        cfg,
+        trainer.model,
+        variables,
+        output_dir,
+        check_corloc=check_corloc,
+        check_expected_results=True,
+    )
+    logger.info("Results: %s", {k: v for k, v in results.items() if k != "per_class"})
+
+
+if __name__ == "__main__":
+    main()

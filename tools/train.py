@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""CIM training CLI (reference tools/train.py).
+
+Replicates the reference's training contract — dataset presets, cfg yaml +
+--set overrides, LR/step auto-rescaling by effective batch size
+(tools/train.py:184-221), warmup/decay schedule, gradient accumulation
+(iter_size), periodic + crash-save checkpoints — on a TPU device mesh.
+
+Example:
+  python tools/train.py --dataset voc2012trainaug \
+      --cfg configs/resnet50_voc.yaml
+  python tools/train.py --synthetic --cfg configs/resnet50_voc.yaml \
+      --max_iter 20    # smoke run without data on disk
+"""
+import argparse
+import logging
+import os
+import pickle
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger("tools.train")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train CIM (TPU)")
+    parser.add_argument("--dataset", help="voc2012trainaug | coco2017train")
+    parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--set", dest="set_cfgs", nargs="+", default=None,
+                        help="config key-value pairs")
+    parser.add_argument("--bs", dest="batch_size", type=int, default=None,
+                        help="total images per step across devices")
+    parser.add_argument("--iter_size", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--max_iter", type=int, default=None)
+    parser.add_argument("--disp_interval", type=int, default=20)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--load_ckpt", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--no_save", action="store_true")
+    parser.add_argument("--use_tfboard", action="store_true")
+    parser.add_argument("--start_step", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=3)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic fixtures (no data on disk)")
+    parser.add_argument("--debug", action="store_true")
+    return parser.parse_args()
+
+
+def main():
+    from cim_tpu.config import assert_and_infer_cfg, cfg_from_file, cfg_from_list, get_default_cfg
+    from cim_tpu.engine.stats import TrainingStats, setup_logging
+
+    setup_logging()
+    args = parse_args()
+
+    cfg = get_default_cfg()
+    cfg_from_file(cfg, args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(cfg, args.set_cfgs)
+
+    if args.dataset == "coco2017train":
+        cfg.TRAIN.DATASETS = ("coco_2017_train",)
+        cfg.MODEL.NUM_CLASSES = 80
+    elif args.dataset == "voc2012trainaug":
+        cfg.TRAIN.DATASETS = ("voc_2012_trainaug",)
+        cfg.MODEL.NUM_CLASSES = 20
+    elif args.dataset is not None:
+        raise ValueError(f"Unexpected args.dataset: {args.dataset}")
+
+    if args.debug:
+        cfg.DEBUG = True
+
+    import jax
+
+    n_devices = cfg.TPU.DATA_PARALLEL or len(jax.devices())
+    cfg.TPU.DATA_PARALLEL = n_devices
+
+    # ---- adaptive batch/LR/step rescaling (reference train.py:184-221) --- #
+    original_batch_size = cfg.NUM_GPUS * cfg.TRAIN.IMS_PER_BATCH
+    batch_size = args.batch_size or n_devices * cfg.TRAIN.IMS_PER_BATCH
+    assert batch_size % n_devices == 0
+    effective_batch_size = args.iter_size * batch_size
+    cfg.TPU.GRAD_ACCUM = args.iter_size
+
+    old_lr = cfg.SOLVER.BASE_LR
+    cfg.SOLVER.BASE_LR *= batch_size / original_batch_size
+    step_scale = original_batch_size / effective_batch_size
+    cfg.SOLVER.STEPS = [int(s * step_scale + 0.5) for s in cfg.SOLVER.STEPS]
+    cfg.SOLVER.MAX_ITER = int(cfg.SOLVER.MAX_ITER * step_scale + 0.5)
+    logger.info(
+        "batch %d x iter_size %d -> LR %g -> %g, MAX_ITER %d, STEPS %s",
+        batch_size, args.iter_size, old_lr, cfg.SOLVER.BASE_LR,
+        cfg.SOLVER.MAX_ITER, cfg.SOLVER.STEPS,
+    )
+    if args.lr is not None:
+        cfg.SOLVER.BASE_LR = args.lr
+    if args.max_iter is not None:
+        cfg.SOLVER.MAX_ITER = args.max_iter
+
+    assert_and_infer_cfg(cfg, make_immutable=False)
+
+    # ---------------------------- data ---------------------------------- #
+    rng = np.random.RandomState(args.seed)
+    if args.synthetic:
+        from cim_tpu.data.synthetic import make_microbatch, make_train_batch
+
+        kw = dict(
+            image_hw=(256, 256),
+            n_props=min(cfg.TPU.PROPOSAL_PAD, 512),
+            n_valid=min(cfg.TPU.PROPOSAL_PAD, 300),
+            num_classes=cfg.MODEL.NUM_CLASSES,
+        )
+        cfg.TPU.PROPOSAL_PAD = kw["n_props"]
+        sample = make_microbatch(rng, **kw)
+
+        def batches():
+            while True:
+                yield make_train_batch(rng, n_devices, args.iter_size, **kw)
+
+        loader_iter = batches()
+    else:
+        from cim_tpu.data.loader import TrainLoader, build_microbatch
+        from cim_tpu.data.roidb import combined_roidb_for_training
+
+        roidb, _, _ = combined_roidb_for_training(cfg)
+        loader = TrainLoader(
+            cfg, roidb, n_devices, args.iter_size, seed=args.seed,
+            prefetch=cfg.DATA_LOADER.PREFETCH,
+        )
+        entry0 = roidb[0]
+        from cim_tpu.data.transforms import scale_for_target
+
+        s = scale_for_target(
+            (entry0["height"], entry0["width"]), cfg.TRAIN.SCALES[0],
+            cfg.TRAIN.MAX_SIZE,
+        )
+        bucket = loader._entry_bucket(entry0, cfg.TRAIN.SCALES[0])[0]
+        sample = build_microbatch(cfg, entry0, s, bucket, rng)
+        loader_iter = iter(loader)
+
+    # --------------------------- trainer -------------------------------- #
+    from cim_tpu.engine.checkpoint import load_ckpt, save_ckpt
+    from cim_tpu.engine.train import Trainer
+
+    trainer = Trainer(cfg, jax.random.PRNGKey(args.seed), sample_batch=sample)
+
+    output_dir = args.output_dir or os.path.join(
+        cfg.OUTPUT_DIR,
+        os.path.splitext(os.path.basename(args.cfg_file))[0],
+    )
+    ckpt_dir = os.path.join(output_dir, "ckpt")
+
+    if args.load_ckpt:
+        state, stats = load_ckpt(args.load_ckpt, trainer.state, trainer.stats)
+        trainer.state = state
+        trainer.stats = stats
+        if not args.resume:
+            trainer.state = trainer.state._replace(
+                step=np.asarray(args.start_step, np.int32)
+            )
+        logger.info("Loaded checkpoint; starting at step %d", int(trainer.state.step))
+
+    if not args.no_save:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "config_and_args.pkl"), "wb") as f:
+            pickle.dump({"cfg": dict(cfg), "args": vars(args)}, f)
+
+    tb_writer = None
+    if args.use_tfboard and not args.no_save:
+        try:
+            from flax.metrics import tensorboard
+
+            tb_writer = tensorboard.SummaryWriter(output_dir)
+        except Exception as e:  # pragma: no cover
+            logger.warning("tensorboard writer unavailable: %s", e)
+
+    training_stats = TrainingStats(args.disp_interval, tb_writer)
+    checkpoint_period = max(
+        1, int(cfg.TRAIN.SNAPSHOT_ITERS / (n_devices * args.iter_size))
+    )
+
+    step = int(trainer.state.step)
+    try:
+        logger.info("Training starts!")
+        while step < cfg.SOLVER.MAX_ITER:
+            batch = next(loader_iter)
+            training_stats.iter_tic()
+            metrics = trainer.step(batch, jax.random.PRNGKey(args.seed + step))
+            metrics = {k: float(v) for k, v in metrics.items()}
+            training_stats.iter_toc()
+            training_stats.update_iter_stats(metrics)
+            training_stats.log_iter_stats(
+                step, metrics["lr"], cfg.SOLVER.MAX_ITER
+            )
+            step = int(trainer.state.step)
+            if not args.no_save and step % checkpoint_period == 0:
+                save_ckpt(ckpt_dir, trainer.state, trainer.stats)
+        if not args.no_save:
+            save_ckpt(ckpt_dir, trainer.state, trainer.stats)
+        logger.info("Training done at step %d", step)
+    except (RuntimeError, KeyboardInterrupt):
+        # crash-save (reference tools/train.py:450-456)
+        logger.info("Save ckpt on exception ...")
+        if not args.no_save:
+            save_ckpt(ckpt_dir, trainer.state, trainer.stats)
+        print(traceback.format_exc())
+    finally:
+        if tb_writer is not None:
+            tb_writer.close()
+
+
+if __name__ == "__main__":
+    main()
