@@ -40,6 +40,9 @@ class Evaluator:
     """Wraps a model + variables with shape-bucketed jitted TTA inference."""
 
     def __init__(self, cfg, model, variables):
+        from cim_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.model = model
         self.variables = variables

@@ -139,6 +139,9 @@ class Trainer:
     """
 
     def __init__(self, cfg, rng_key, mesh: Mesh | None = None, sample_batch=None):
+        from cim_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.model = build_model(cfg)
         self.mesh = mesh if mesh is not None else get_mesh(cfg)

@@ -16,6 +16,12 @@ import numpy as np
 def mask_to_rle_counts(mask: np.ndarray) -> list:
     """(H, W) {0,1} mask -> uncompressed RLE counts (column-major, starting
     with the zero run)."""
+    try:
+        from cim_tpu.native import rle_encode_counts
+
+        return rle_encode_counts(np.asarray(mask, np.uint8))
+    except Exception:
+        pass
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     n = flat.size
     if n == 0:

@@ -1,0 +1,86 @@
+"""Native C++ host kernels vs their numpy twins."""
+import numpy as np
+import pytest
+
+native = pytest.importorskip("cim_tpu.native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _built():
+    try:
+        native._load()
+    except Exception as e:  # no compiler in env
+        pytest.skip(f"native build unavailable: {e}")
+
+
+def _rand_dets(rng, n):
+    x1 = rng.uniform(0, 60, n)
+    y1 = rng.uniform(0, 60, n)
+    w = rng.uniform(5, 40, n)
+    h = rng.uniform(5, 40, n)
+    s = rng.rand(n)
+    return np.stack([x1, y1, x1 + w, y1 + h, s], -1).astype(np.float32)
+
+
+def test_native_nms_matches_numpy(rng):
+    import cim_tpu.ops.nms as nms_mod
+
+    dets = _rand_dets(rng, 200)
+    got = native.nms(dets, 0.3)
+    # numpy twin (bypass the native fast path inside nms_np)
+    x1, y1, x2, y2, scores = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    suppressed = np.zeros(len(dets), bool)
+    for _i in range(len(order)):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        rest = order[_i + 1 :]
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        iw = np.maximum(0.0, xx2 - xx1 + 1)
+        ih = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = iw * ih
+        ovr = inter / (areas[i] + areas[rest] - inter)
+        suppressed[rest[ovr >= 0.3]] = True
+    np.testing.assert_array_equal(got, keep)
+
+
+def test_native_bbox_overlaps(rng):
+    from cim_tpu.ops import boxes as box_ops
+    import jax.numpy as jnp
+
+    a = _rand_dets(rng, 20)[:, :4]
+    b = _rand_dets(rng, 9)[:, :4]
+    got = native.bbox_overlaps(a, b)
+    want = np.asarray(box_ops.box_iou(jnp.asarray(a), jnp.asarray(b), True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_native_rle_matches_numpy(rng):
+    for _ in range(5):
+        m = (rng.rand(31, 17) > 0.5).astype(np.uint8)
+        got = native.rle_encode_counts(m)
+        flat = m.flatten(order="F")
+        change = np.nonzero(np.diff(flat))[0] + 1
+        runs = np.diff(np.concatenate([[0], change, [len(flat)]])).tolist()
+        if flat[0] == 1:
+            runs = [0] + runs
+        assert got == runs
+
+
+def test_native_soft_nms_linear(rng):
+    from cim_tpu.ops.nms import soft_nms_np
+
+    dets = _rand_dets(rng, 60)
+    got_boxes, got_inds = native.soft_nms(dets, method=1, nt=0.3, threshold=0.01)
+    want_boxes, want_inds = soft_nms_np(
+        dets, overlap_thresh=0.3, score_thresh=0.01, method="linear"
+    )
+    np.testing.assert_array_equal(got_inds, want_inds)
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-5)
