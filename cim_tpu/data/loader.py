@@ -99,8 +99,8 @@ def build_microbatch(cfg, entry, im_scale, bucket_hw, rng, image=None):
     if len(entry["mat"]):
         mat[:n_keep] = entry["mat"][index].astype(np.int32)
 
-    iou_map = np.zeros((n_max, n_max), np.float32)
-    asy_map = np.zeros((n_max, n_max), np.float32)
+    iou_map = np.zeros((n_max, n_max), np.float16)
+    asy_map = np.zeros((n_max, n_max), np.float16)
     iou, asy = load_iou_maps(cfg, entry, index)
     iou_map[:n_keep, :n_keep] = iou
     asy_map[:n_keep, :n_keep] = asy

@@ -131,8 +131,9 @@ def make_microbatch(
         "valid": valid,
         "labels": labels,
         "mat": padrows(mat),
-        "iou_map": padmat(iou),
-        "asy_iou_map": padmat(asy),
+        # f16 storage (reference stores f16 pkls too); cast at use
+        "iou_map": padmat(iou).astype(np.float16),
+        "asy_iou_map": padmat(asy).astype(np.float16),
     }
 
 

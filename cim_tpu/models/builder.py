@@ -56,6 +56,8 @@ class CIMModel(nn.Module):
     sampling_ratio: int = 0
     max_adaptive_grid: int = 2
     remat_backbone: bool = False
+    remat_box_head: bool = True
+    use_pallas_roi_align: bool = False
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -72,7 +74,10 @@ class CIMModel(nn.Module):
             # trade FLOPs for HBM on large TTA scales (jax.checkpoint)
             ctor = nn.remat(ctor)
         self.backbone = ctor(dtype=self.compute_dtype, name="conv_body")
-        self.box_head = MaskFuse(
+        # remat the box head: its RoIAlign/concat intermediates dominate
+        # HBM at N_max proposals; recompute in backward instead of saving
+        head_ctor = nn.remat(MaskFuse) if self.remat_box_head else MaskFuse
+        self.box_head = head_ctor(
             dim_in=BACKBONES[self.conv_body].dim_out,
             spatial_scale=BACKBONES[self.conv_body].spatial_scale,
             hidden_dim=self.mlp_head_dim,
@@ -80,6 +85,7 @@ class CIMModel(nn.Module):
             roi_method=self.roi_method,
             sampling_ratio=self.sampling_ratio,
             max_adaptive_grid=self.max_adaptive_grid,
+            use_pallas=self.use_pallas_roi_align,
             dtype=self.compute_dtype,
             name="box_head",
         )
@@ -119,6 +125,7 @@ def build_model(cfg) -> CIMModel:
         sampling_ratio=cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
         max_adaptive_grid=cfg.TPU.MAX_ADAPTIVE_GRID,
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
+        use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
         compute_dtype=jnp.bfloat16
         if cfg.TPU.PRECISION == "bf16_compute"
         else jnp.float32,

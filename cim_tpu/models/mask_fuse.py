@@ -32,6 +32,7 @@ class MaskFuse(nn.Module):
     roi_method: str = "RoIAlign"
     sampling_ratio: int = 0
     max_adaptive_grid: int = 2
+    use_pallas: bool = False  # Pallas separable-matmul kernel (TPU)
     dtype: Any = None
 
     dim_out: int = 4096
@@ -39,16 +40,32 @@ class MaskFuse(nn.Module):
     @nn.compact
     def __call__(self, features, rois, masks):
         """features: (H, W, C); rois: (N, 4) image coords; masks: (N, 7, 7)."""
+        if self.dtype is not None:
+            # bf16 RoIAlign: weights stay f32 inside the op; the (N, R, R, C)
+            # value tensors (the model's largest) are stored in bf16
+            features = features.astype(self.dtype)
         if self.roi_method == "RoIAlign":
-            box_x = roi_align(
-                features,
-                rois,
-                output_size=self.roi_size,
-                spatial_scale=self.spatial_scale,
-                sampling_ratio=self.sampling_ratio,
-                aligned=True,
-                max_adaptive_grid=self.max_adaptive_grid,
-            )
+            if self.use_pallas:
+                from cim_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
+
+                box_x = roi_align_pallas(
+                    features,
+                    rois,
+                    self.roi_size,
+                    self.spatial_scale,
+                    self.sampling_ratio,
+                    max(self.max_adaptive_grid, 4),
+                )
+            else:
+                box_x = roi_align(
+                    features,
+                    rois,
+                    output_size=self.roi_size,
+                    spatial_scale=self.spatial_scale,
+                    sampling_ratio=self.sampling_ratio,
+                    aligned=True,
+                    max_adaptive_grid=self.max_adaptive_grid,
+                )
         elif self.roi_method == "RoIPoolF":
             box_x = roi_pool(
                 features, rois, output_size=self.roi_size,
@@ -57,6 +74,11 @@ class MaskFuse(nn.Module):
         else:
             raise ValueError(f"Unknown pooling method: {self.roi_method}")
 
+        # cast to the compute dtype BEFORE the concat: the (N, 7, 7, 2C)
+        # intermediate is the largest activation of the model (1.6GB at
+        # N=4096, C=1024 in f32) and would otherwise be saved for backward
+        if self.dtype is not None:
+            box_x = box_x.astype(self.dtype)
         masks = jnp.asarray(masks, box_x.dtype)[..., None]  # (N, 7, 7, 1)
         mask_x = box_x * masks
         x = jnp.concatenate([box_x, mask_x], axis=-1)  # (N, 7, 7, 2C)

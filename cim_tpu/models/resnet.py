@@ -87,10 +87,14 @@ class ResNet50C4(nn.Module):
         x = FrozenBatchNorm(64, name="res1_bn")(x)
         x = nn.relu(x)
         x = max_pool_torch(x, 3, 2, 1)
-        # res2..res4
+        # res2..res4 (+ optional res5 for the full classification trunk)
         x = ResNetStage(64, self.block_counts[0], 1, dtype=self.dtype, name="res2")(x)
         x = ResNetStage(128, self.block_counts[1], 2, dtype=self.dtype, name="res3")(x)
         x = ResNetStage(256, self.block_counts[2], 2, dtype=self.dtype, name="res4")(x)
+        if len(self.block_counts) > 3:
+            x = ResNetStage(
+                512, self.block_counts[3], 2, dtype=self.dtype, name="res5"
+            )(x)
         return x
 
 

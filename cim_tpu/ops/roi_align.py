@@ -107,7 +107,11 @@ def roi_align(
     height, width, channels = features.shape
     n = rois.shape[0]
     r = output_size
+    # values accumulate in the feature dtype (bf16 halves the dominant
+    # (N, R, R, C) intermediates); coordinates/weights stay f32 — bf16
+    # coordinates would quantize to ~8px at 2000px image scales
     dtype = features.dtype
+    rois = rois.astype(jnp.float32)
     feat_flat = features.reshape(height * width, channels)
 
     offset = 0.5 if aligned else 0.0
@@ -133,12 +137,13 @@ def roi_align(
         gh = jnp.clip(jnp.ceil(bin_h).astype(jnp.int32), 1, grid)
         gw = jnp.clip(jnp.ceil(bin_w).astype(jnp.int32), 1, grid)
 
-    bins = jnp.arange(r, dtype=dtype)  # (R,)
+    cdtype = jnp.float32  # coordinate/weight dtype
+    bins = jnp.arange(r, dtype=cdtype)  # (R,)
     # bin start coordinates: (N, R)
     ys0 = roi_y1[:, None] + bins[None, :] * bin_h[:, None]
     xs0 = roi_x1[:, None] + bins[None, :] * bin_w[:, None]
 
-    count = (gh * gw).astype(dtype)  # (N,), >= 1 by construction
+    count = (gh * gw).astype(cdtype)  # (N,), >= 1 by construction
 
     acc = jnp.zeros((n, r, r, channels), dtype=dtype)
     # Static loop over the (<= grid*grid) sample offsets; per-ROI masks select
@@ -146,10 +151,10 @@ def roi_align(
     for iy in range(grid):
         y_valid = iy < gh  # (N,)
         # sample y position: start + (iy + .5) * bin_h / gh    -> (N, R)
-        y = ys0 + (iy + 0.5) * (bin_h / gh.astype(dtype))[:, None]
+        y = ys0 + (iy + 0.5) * (bin_h / gh.astype(cdtype))[:, None]
         for ix in range(grid):
             x_valid = ix < gw
-            x = xs0 + (ix + 0.5) * (bin_w / gw.astype(dtype))[:, None]
+            x = xs0 + (ix + 0.5) * (bin_w / gw.astype(cdtype))[:, None]
             # broadcast to (N, R, R): y over rows, x over cols
             yy = jnp.broadcast_to(y[:, :, None], (n, r, r))
             xx = jnp.broadcast_to(x[:, None, :], (n, r, r))
@@ -157,12 +162,12 @@ def roi_align(
             sample_valid = (y_valid & x_valid)[:, None, None]
             val = jnp.zeros((n, r, r, channels), dtype=dtype)
             for idx, w in zip(idxs, ws):
-                w = jnp.where(sample_valid, w, 0.0)
+                w = jnp.where(sample_valid, w, 0.0).astype(dtype)
                 val = val + jnp.take(feat_flat, idx.reshape(-1), axis=0).reshape(
                     n, r, r, channels
                 ) * w[..., None]
             acc = acc + val
-    return acc / count[:, None, None, None]
+    return acc / count[:, None, None, None].astype(dtype)
 
 
 @functools.partial(

@@ -166,6 +166,60 @@ def convert_cls_iou_heads(sd, refine_times=3, prefix="cls_iou_model.") -> Dict:
     return out
 
 
+def convert_prm_checkpoint(sd, num_classes=20):
+    """fc_resnet50 PRM checkpoint -> FCResNet50 flax variables.
+
+    Reference naming (lib/prm/prm_model.py:279-301): features.0 conv1,
+    features.1 bn1, features.4..7 layer1..4, classifier.0 the 1x1 conv."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    remap = {}
+    for k, v in sd.items():
+        k2 = k
+        k2 = re.sub(r"^features\.0\.", "conv1.", k2)
+        k2 = re.sub(r"^features\.1\.", "bn1.", k2)
+        k2 = re.sub(r"^features\.4\.", "layer1.", k2)
+        k2 = re.sub(r"^features\.5\.", "layer2.", k2)
+        k2 = re.sub(r"^features\.6\.", "layer3.", k2)
+        k2 = re.sub(r"^features\.7\.", "layer4.", k2)
+        remap[k2] = v
+
+    params: Dict = {}
+    stats: Dict = {}
+    params["res1_conv"] = {"kernel": conv_w(remap["conv1.weight"])}
+    p, s = _bn(remap, "bn1")
+    params["res1_bn"] = p
+    stats["res1_bn"] = s
+    blocks = {
+        "res2": ("layer1", 3), "res3": ("layer2", 4),
+        "res4": ("layer3", 6), "res5": ("layer4", 3),
+    }
+    for stage, (layer, n) in blocks.items():
+        for b in range(n):
+            bp: Dict = {}
+            bs: Dict = {}
+            for i in (1, 2, 3):
+                bp[f"conv{i}"] = {
+                    "kernel": conv_w(remap[f"{layer}.{b}.conv{i}.weight"])
+                }
+                pi, si = _bn(remap, f"{layer}.{b}.bn{i}")
+                bp[f"bn{i}"] = pi
+                bs[f"bn{i}"] = si
+            if b == 0:
+                bp["downsample_conv"] = {
+                    "kernel": conv_w(remap[f"{layer}.0.downsample.0.weight"])
+                }
+                pi, si = _bn(remap, f"{layer}.0.downsample.1")
+                bp["downsample_bn"] = pi
+                bs["downsample_bn"] = si
+            params[f"{stage}_block{b}"] = bp
+            stats[f"{stage}_block{b}"] = bs
+    params["classifier"] = {
+        "kernel": conv_w(remap["classifier.0.weight"]),
+        "bias": _t(remap["classifier.0.bias"]),
+    }
+    return {"params": params, "stats": stats}
+
+
 def convert_reference_checkpoint(sd, conv_body="resnet50", refine_times=3):
     """Full reference CIM checkpoint (model key of model_step*.pth) ->
     {'params': ..., 'stats': ...} for CIMModel.
