@@ -39,6 +39,8 @@ def main():
         load_cfg(os.path.join(os.path.dirname(__file__), "configs", "resnet50_voc.yaml"))
     )
     cfg.TPU.DATA_PARALLEL = 1
+    cfg.TPU.PALLAS_ROI_ALIGN = True
+    cfg.TPU.REMAT_BOX_HEAD = False  # pallas RoIAlign saves only (feat, rois)
     accum = cfg.TPU.GRAD_ACCUM  # 4, the reference's iter_size
 
     rng = np.random.RandomState(0)

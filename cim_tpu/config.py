@@ -211,6 +211,7 @@ def get_default_cfg() -> AttrDict:
     c.TPU.IMAGE_BUCKETS = ()  # () = derive from TRAIN.SCALES
     c.TPU.MAX_ADAPTIVE_GRID = 2  # RoIAlign adaptive sampling cap
     c.TPU.PALLAS_ROI_ALIGN = False  # Pallas separable-matmul RoIAlign kernel
+    c.TPU.REMAT_BOX_HEAD = True  # recompute box-head activations in bwd
     c.TPU.MAX_CLUSTERS = 64  # PCL cluster cap per image
     c.TPU.REMAT_BACKBONE = False  # jax.checkpoint the conv body
     c.TPU.GRAD_ACCUM = 4  # reference iter_size (tools/train.py:84-86)

@@ -132,8 +132,12 @@ def run_inference(
     check_corloc=False,
     check_expected_results=False,
     image_loader=None,
+    ind_range=None,
 ):
-    """Top-level inference + evaluation (reference run_inference :90-151)."""
+    """Top-level inference + evaluation (reference run_inference :90-151).
+
+    With ind_range, only that slice is processed and pickled (the
+    reference's child-process contract); evaluation is skipped."""
     from cim_tpu.evaluation import task_evaluation
 
     dataset_name = cfg.TEST.DATASETS[0]
@@ -142,8 +146,11 @@ def run_inference(
     )
     all_scores, roidb, dataset = test_net(
         cfg, model, variables, dataset_name, proposal_file, output_dir,
+        ind_range=tuple(ind_range) if ind_range else None,
         check_corloc=check_corloc, image_loader=image_loader,
     )
+    if ind_range:
+        return None, None, all_scores
     all_boxes = post_process_results(
         cfg, all_scores, roidb, dataset, check_corloc
     )

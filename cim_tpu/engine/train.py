@@ -229,6 +229,8 @@ class Trainer:
             mesh=mesh,
             in_specs=(P(), P("dp"), P()),
             out_specs=(P(), P()),
+            # pallas_call outputs carry no vma annotation; skip the check
+            check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=(0,))
 

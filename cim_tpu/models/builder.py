@@ -125,6 +125,7 @@ def build_model(cfg) -> CIMModel:
         sampling_ratio=cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
         max_adaptive_grid=cfg.TPU.MAX_ADAPTIVE_GRID,
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
+        remat_box_head=cfg.TPU.REMAT_BOX_HEAD,
         use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
         compute_dtype=jnp.bfloat16
         if cfg.TPU.PRECISION == "bf16_compute"

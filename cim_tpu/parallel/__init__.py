@@ -1,0 +1,54 @@
+"""Parallelism utilities: device meshes and sharded evaluation.
+
+The reference's distributed story (SURVEY.md §2.3) is single-process
+DataParallel over torch.cuda.comm (lib/nn/parallel/*) for training and
+OS-subprocess index-range fan-out for inference
+(lib/core/test_engine.py:204-244 + lib/utils/subprocess.py). Here both
+collapse into jax.sharding:
+
+- training: one shard_map over a Mesh data axis (cim_tpu.engine.train);
+  gradients pmean over ICI — no NCCL bindings, no replicate/scatter;
+- inference: index-range sharding over jax processes (multi-host) or
+  local devices, results merged in memory — no pickled range files.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def data_parallel_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over local devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.array(devices[:n]), axis_names=("dp",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for (n_devices, ...) batches."""
+    return NamedSharding(mesh, PartitionSpec("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def eval_index_range(num_items: int, process_index: int | None = None,
+                     process_count: int | None = None):
+    """Split [0, num_items) across processes (the reference's --range
+    start end subprocess contract, lib/utils/subprocess.py:41-145)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    start = pi * num_items // pc
+    end = (pi + 1) * num_items // pc
+    return start, end
+
+
+def merge_sharded_results(results_per_shard: list) -> dict:
+    """Merge per-shard {image -> record} dicts (the reference merges
+    pickled range files, test_engine.py:174-186)."""
+    merged = {}
+    for shard in results_per_shard:
+        merged.update(shard)
+    return merged

@@ -108,8 +108,12 @@ def main():
         output_dir,
         check_corloc=check_corloc,
         check_expected_results=True,
+        ind_range=args.range,
     )
-    logger.info("Results: %s", {k: v for k, v in results.items() if k != "per_class"})
+    if results is not None:
+        logger.info(
+            "Results: %s", {k: v for k, v in results.items() if k != "per_class"}
+        )
 
 
 if __name__ == "__main__":
