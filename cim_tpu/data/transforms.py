@@ -47,6 +47,20 @@ def _resize(im, scale, interpolation):
     )
 
 
+def aspect_ratio_rel(im, aspect_ratio: float):
+    """Width-relative aspect-ratio distortion (reference
+    lib/utils/image.py aspect_ratio_rel)."""
+    h, w = im.shape[:2]
+    new_w = int(round(w * aspect_ratio))
+    if _HAVE_CV2:
+        return cv2.resize(im, (new_w, h), interpolation=cv2.INTER_LINEAR)
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(im.astype(np.uint8)).resize((new_w, h), Image.BILINEAR)
+    )
+
+
 def prep_image(im, scale, mode: str, pixel_means=None):
     """im: (H, W, 3) uint8 BGR -> resized float32 (h, w, 3)."""
     interp = cv2.INTER_LINEAR if _HAVE_CV2 else None

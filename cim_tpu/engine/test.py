@@ -97,6 +97,26 @@ class Evaluator:
         )
         return scores, boxes  # detections map back to original boxes (ID)
 
+    def im_detect_bbox_aspect_ratio(self, im, boxes, masks, aspect_ratio,
+                                    hflip=False):
+        """Width-relative aspect-ratio TTA (reference
+        im_detect_bbox_aspect_ratio, test.py:284-317)."""
+        from cim_tpu.data.transforms import aspect_ratio_rel
+        from cim_tpu.ops.boxes import aspect_ratio as box_ar
+
+        im_ar = aspect_ratio_rel(im, aspect_ratio)
+        boxes_ar = np.asarray(box_ar(jnp.asarray(boxes), aspect_ratio))
+        cfg = self.cfg
+        if hflip:
+            scores, _ = self.im_detect_bbox_hflip(
+                im_ar, boxes_ar, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE
+            )
+        else:
+            scores, _ = self.im_detect_bbox(
+                im_ar, boxes_ar, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE
+            )
+        return scores, boxes
+
     def im_detect_all(self, im, boxes, masks):
         """Full TTA per cfg.TEST.BBOX_AUG (reference im_detect_bbox_aug)."""
         cfg = self.cfg
@@ -117,6 +137,14 @@ class Evaluator:
             scores_ts.append(s)
             if cfg.TEST.BBOX_AUG.SCALE_H_FLIP:
                 s, _ = self.im_detect_bbox_hflip(im, boxes, masks, scale, max_size)
+                scores_ts.append(s)
+        for ar in cfg.TEST.BBOX_AUG.ASPECT_RATIOS:
+            s, _ = self.im_detect_bbox_aspect_ratio(im, boxes, masks, ar)
+            scores_ts.append(s)
+            if cfg.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP:
+                s, _ = self.im_detect_bbox_aspect_ratio(
+                    im, boxes, masks, ar, hflip=True
+                )
                 scores_ts.append(s)
         s_i, boxes_i = self.im_detect_bbox(
             im, boxes, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE

@@ -178,10 +178,12 @@ class Trainer:
         opt_update = self.opt_update
         mesh = self.mesh
 
+        single_device = mesh.size == 1
+
         def device_step(state: TrainState, batch, rng):
             """Runs on each device's shard: batch leaves (1, accum, ...)."""
             batch = jax.tree.map(lambda x: x[0], batch)  # drop device dim
-            dp_idx = jax.lax.axis_index("dp")
+            dp_idx = 0 if single_device else jax.lax.axis_index("dp")
             rng = jax.random.fold_in(rng, dp_idx)
             rng = jax.random.fold_in(rng, state.step)
 
@@ -208,8 +210,9 @@ class Trainer:
                 micro, (zeros_g, zeros_l), (batch, keys)
             )
             # reference: per-inner-iter mean over GPUs, summed over iter_size
-            grads = jax.lax.pmean(grads, "dp")
-            losses = jax.lax.pmean(losses, "dp")
+            if not single_device:
+                grads = jax.lax.pmean(grads, "dp")
+                losses = jax.lax.pmean(losses, "dp")
             # log the per-microbatch mean (training_stats _mean_and_reset)
             losses = jax.tree.map(lambda x: x / accum, losses)
 
@@ -221,6 +224,11 @@ class Trainer:
             metrics = dict(losses)
             metrics["lr"] = lr
             return new_state, metrics
+
+        if single_device:
+            # no sharding needed; also sidesteps a jax lowering issue with
+            # pallas_call + custom_vjp closed_calls under shard_map
+            return jax.jit(device_step, donate_argnums=(0,))
 
         from jax import shard_map
 

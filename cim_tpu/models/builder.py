@@ -64,11 +64,14 @@ class CIMModel(nn.Module):
         try:
             ctor = BACKBONES[self.conv_body]
         except KeyError:
-            if self.conv_body.startswith("HRNet"):
-                from cim_tpu.models import hrnet  # noqa: F401  (self-registers)
+            # lazy self-registering modules (HRNet.get_HRNet, tiny.conv_body)
+            import importlib
 
+            mod = self.conv_body.split(".")[0].lower()
+            try:
+                importlib.import_module(f"cim_tpu.models.{mod}")
                 ctor = BACKBONES[self.conv_body]
-            else:
+            except (ImportError, KeyError):
                 raise ValueError(f"Unknown CONV_BODY: {self.conv_body}")
         if self.remat_backbone:
             # trade FLOPs for HBM on large TTA scales (jax.checkpoint)

@@ -154,3 +154,31 @@ def _pr_bwd(strides, padding, dilation, res, g):
 
 
 pr_conv.defvjp(_pr_fwd, _pr_bwd)
+
+
+@jax.custom_vjp
+def eb_linear(x, w, b):
+    """Linear layer with excitation backprop (reference lib/bp/exbp.py
+    EBLinear): same probabilistic rule as pr_conv for dense layers.
+    x: (..., Din); w: (Din, Dout)."""
+    return x @ w + b
+
+
+def _eb_fwd(x, w, b):
+    return x @ w + b, (x, w)
+
+
+def _eb_bwd(res, g):
+    x, w = res
+    eps = 1e-10
+    offset = jnp.min(x)
+    shifted = x - offset
+    pos_w = jax.nn.relu(w)
+    norm = shifted @ pos_w
+    g_norm = g / (jnp.abs(norm) + eps)
+    g_norm = jnp.where(norm < eps, 0.0, g_norm)
+    grad_x = shifted * (g_norm @ pos_w.T)
+    return grad_x, jnp.zeros_like(w), jnp.zeros(w.shape[-1], w.dtype)
+
+
+eb_linear.defvjp(_eb_fwd, _eb_bwd)
