@@ -197,3 +197,11 @@ class TrainLoader:
 
     def close(self):
         self._stop.set()
+        # drain so a blocked put() observes the stop event
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -50,8 +50,13 @@ def _axis_weights(lo, size, n_bins, grid_cap, length, sampling_ratio):
         g = jnp.clip(jnp.ceil(bin_sz), 1.0, float(grid_cap))
     inv_g = 1.0 / g
 
-    bins = jax.lax.broadcasted_iota(jnp.float32, (r, grid_cap), 0)  # (R,G)
-    samples = jax.lax.broadcasted_iota(jnp.float32, (r, grid_cap), 1)
+    # mosaic's tpu.iota is integer-only; cast after
+    bins = jax.lax.broadcasted_iota(jnp.int32, (r, grid_cap), 0).astype(
+        jnp.float32
+    )  # (R, G)
+    samples = jax.lax.broadcasted_iota(jnp.int32, (r, grid_cap), 1).astype(
+        jnp.float32
+    )
     # sample coordinate: lo + bin*bin_sz + (s+.5)*bin_sz/g   -> (BN, R, G)
     coord = (
         lo[:, None, None]
@@ -71,8 +76,8 @@ def _axis_weights(lo, size, n_bins, grid_cap, length, sampling_ratio):
     hw = 1.0 - lw
 
     pos = jax.lax.broadcasted_iota(
-        jnp.float32, (bn, r, grid_cap, length), 3
-    )  # (BN, R, G, L)
+        jnp.int32, (bn, r, grid_cap, length), 3
+    ).astype(jnp.float32)  # (BN, R, G, L)
     contrib = (pos == low[..., None]) * hw[..., None] + (
         pos == high[..., None]
     ) * lw[..., None]

@@ -1,0 +1,48 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cim_tpu.engine.checkpoint import latest_step, load_ckpt, save_ckpt
+from cim_tpu.engine.optimizer import SGDState
+from cim_tpu.engine.train import TrainState
+
+
+def _state(seed, step):
+    k = jax.random.PRNGKey(seed)
+    params = {"layer": {"kernel": jax.random.normal(k, (4, 3)), "bias": jnp.zeros(3)}}
+    mom = jax.tree.map(jnp.ones_like, params)
+    return TrainState(
+        params=params,
+        opt_state=SGDState(momentum=mom, prev_lr=jnp.asarray(0.01)),
+        step=jnp.asarray(step, jnp.int32),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    state = _state(0, 7)
+    stats = {"bn": {"mean": jnp.arange(3.0), "var": jnp.ones(3)}}
+    save_ckpt(ckpt_dir, state, stats)
+    assert latest_step(ckpt_dir) == 7
+
+    blank = _state(1, 0)
+    restored, rstats = load_ckpt(ckpt_dir, blank, stats)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["layer"]["kernel"]),
+        np.asarray(state.params["layer"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.opt_state.momentum["layer"]["bias"]), 1.0
+    )
+    assert int(restored.step) == 8  # resume at step+1 (reference train.py:328)
+    np.testing.assert_allclose(np.asarray(rstats["bn"]["mean"]), [0, 1, 2])
+
+
+def test_checkpoint_keeps_multiple(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    stats = {}
+    for s in (1, 2, 3):
+        save_ckpt(ckpt_dir, _state(s, s), stats)
+    assert latest_step(ckpt_dir) == 3
+    restored, _ = load_ckpt(ckpt_dir, _state(0, 0), stats, step=2)
+    assert int(restored.step) == 3
