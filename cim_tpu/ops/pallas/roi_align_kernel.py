@@ -1,25 +1,31 @@
-"""Pallas TPU RoIAlign kernel (separable-matmul formulation).
+"""Pallas TPU RoIAlign kernel (Kronecker-weight matmul formulation).
 
 Why not gathers: RoIAlign at production shape (N=4096 ROIs, 7x7 bins,
 2x2 samples, 4 corners, C=1024) as XLA gathers materializes ~16 copies of
 the (N, 7, 7, C) output (~13GB of HBM traffic; the top allocations of the
-train step). The bilinear weight of a sample factorizes over y and x, so
-each ROI's pooled output is exactly
+train step). Bilinear sample weights factorize per axis, so each ROI's
+pooled output is a linear map of the feature map:
 
-    out[ph, pw, :] = (Ay[ph, :] / gh) @ F @ (Ax[pw, :] / gw)^T
+    out[(y, x), :] = M @ F,   M[(y, x), (h, w)] = Ay[y, h] * Ax[x, w]
 
-with Ay (R, H) / Ax (R, W) holding the summed per-axis bilinear weights of
-the adaptive sample grid. Stacking a block of ROIs turns stage 1 into one
-MXU matmul (BN*R, H) @ (H, W*C); stage 2 is a small batched contraction.
-HBM traffic collapses to one read of F per (ROI-block, C-block) and one
-write of the output. The backward pass is the transposed pair of matmuls
-accumulated over ROI blocks (replacing the CUDA atomicAdd scatter of the
-reference's kernel, lib/modeling/roi_xfrom/roi_align/src/
-roi_align_kernel.cu).
+with Ay/Ax the per-axis summed adaptive-grid bilinear weights (divided by
+the sample counts). A block of BN ROIs stacks M into one
+(BN*R^2, H*W) @ (H*W, C) MXU matmul; the backward is the transposed
+matmul accumulated over ROI blocks (replacing the CUDA atomicAdd scatter
+of the reference's kernel, lib/modeling/roi_xfrom/roi_align/src/
+roi_align_kernel.cu). HBM traffic collapses to one read of F per
+(ROI-block, C-block) plus the output itself.
+
+Mosaic constraints shaped this design: ROI boxes arrive via scalar
+prefetch (SMEM) and the weight matrix M is generated *elementwise* from
+2-D iotas + scalars (y = i//R, x = i%R on sublanes; h = j//W, w = j%W on
+lanes) — no >2-D elementwise ops, no sublane<->lane reshapes (the only
+reshapes are leading-dim splits/merges, which mosaic supports). The
+feature map is passed pre-flattened (H*W, C) from XLA.
 
 Semantics: identical to cim_tpu.ops.roi_align (mmcv aligned=True,
 sampling_ratio 0 => adaptive ceil(bin) capped at max_adaptive_grid) —
-see tests/test_pallas_roi_align.py for the cross-check.
+cross-checked in tests/test_pallas_roi_align.py.
 """
 from __future__ import annotations
 
@@ -30,129 +36,138 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_N = 8
-DEFAULT_BLOCK_C = 256
+VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def _axis_weights(lo, size, n_bins, grid_cap, length, sampling_ratio):
-    """Per-ROI separable weights for one axis.
+def _sep_weight(bin_f, pos_f, lo, size, r, grid_cap, length, sampling_ratio):
+    """Separable axis weight, elementwise over (bin, pos) index arrays.
 
-    lo: (BN,) roi start (already scaled/offset); size: (BN,) roi extent.
-    Returns (BN, R, L) weights, already divided by the per-roi sample
-    count g — so stage-1/2 matmuls need no further normalization.
-    """
-    bn = lo.shape[0]
-    r = n_bins
-    bin_sz = size / r  # (BN,)
+    bin_f/pos_f: f32 arrays (same shape) of bin index in [0, r) and
+    feature coordinate in [0, length); lo/size: scalars. Returns the
+    summed bilinear weight of the ROI's adaptive sample grid, divided by
+    the per-axis sample count."""
+    bin_sz = size / r
     if sampling_ratio > 0:
-        g = jnp.full((bn,), sampling_ratio, jnp.float32)
+        g = jnp.float32(sampling_ratio)
     else:
         g = jnp.clip(jnp.ceil(bin_sz), 1.0, float(grid_cap))
     inv_g = 1.0 / g
+    start = lo + bin_f * bin_sz
+    acc = jnp.zeros_like(bin_f)
+    for s in range(grid_cap):
+        coord = start + (s + 0.5) * bin_sz * inv_g
+        ok = (coord >= -1.0) & (coord <= float(length)) & (s < g)
+        c = jnp.maximum(coord, 0.0)
+        low = jnp.floor(c)
+        at_edge = low >= length - 1
+        low = jnp.minimum(low, length - 1.0)
+        high = jnp.minimum(low + 1.0, length - 1.0)
+        lw = jnp.where(at_edge, 0.0, c - low)
+        hw = 1.0 - lw
+        contrib = (pos_f == low) * hw + (pos_f == high) * lw
+        acc = acc + jnp.where(ok, contrib, 0.0)
+    return acc * inv_g
 
-    # mosaic's tpu.iota is integer-only; cast after
-    bins = jax.lax.broadcasted_iota(jnp.int32, (r, grid_cap), 0).astype(
-        jnp.float32
-    )  # (R, G)
-    samples = jax.lax.broadcasted_iota(jnp.int32, (r, grid_cap), 1).astype(
+
+def _roi_scalars(rois_smem, idx, spatial_scale):
+    x1 = rois_smem[idx * 4 + 0] * spatial_scale - 0.5
+    y1 = rois_smem[idx * 4 + 1] * spatial_scale - 0.5
+    x2 = rois_smem[idx * 4 + 2] * spatial_scale - 0.5
+    y2 = rois_smem[idx * 4 + 3] * spatial_scale - 0.5
+    return x1, y1, x2, y2
+
+
+def _build_m(rois_smem, nb, block_n, m_ref, *, r, spatial_scale,
+             sampling_ratio, grid_cap, height, width):
+    """Fill m_ref (BN*R^2, H*W) with the stacked Kronecker weights.
+
+    kron(Ay, Ax) is expanded with 0/1 replication matmuls instead of
+    elementwise generation at full (R^2, H*W) size — two (R, L) weight
+    builds plus four tiny MXU matmuls per ROI, ~100x less VPU work:
+      P1 = R1 @ Ay @ R2   (replicate y-rows over x, h-cols over w)
+      P2 = S1 @ Ax @ S2   (replicate x-rows over y, w-cols over h)
+      M  = P1 * P2
+    """
+    r2 = r * r
+    hw = height * width
+    # bin/pos index grids for the small separable weight builds
+    ybins = jax.lax.broadcasted_iota(jnp.int32, (r, height), 0).astype(
         jnp.float32
     )
-    # sample coordinate: lo + bin*bin_sz + (s+.5)*bin_sz/g   -> (BN, R, G)
-    coord = (
-        lo[:, None, None]
-        + bins[None] * bin_sz[:, None, None]
-        + (samples[None] + 0.5) * (bin_sz * inv_g)[:, None, None]
+    hpos = jax.lax.broadcasted_iota(jnp.int32, (r, height), 1).astype(
+        jnp.float32
     )
-    s_valid = samples[None] < g[:, None, None]  # (BN, R, G)
-    in_range = (coord >= -1.0) & (coord <= float(length))
-    ok = s_valid & in_range
+    xbins = jax.lax.broadcasted_iota(jnp.int32, (r, width), 0).astype(
+        jnp.float32
+    )
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (r, width), 1).astype(
+        jnp.float32
+    )
+    # replication constants (0/1), built from iota compares
+    i_r2 = jax.lax.broadcasted_iota(jnp.int32, (r2, r), 0)
+    j_r = jax.lax.broadcasted_iota(jnp.int32, (r2, r), 1)
+    rep_y = ((i_r2 // r) == j_r).astype(jnp.float32)  # R1 (R^2, R)
+    rep_x = ((i_r2 % r) == j_r).astype(jnp.float32)  # S1 (R^2, R)
+    i_h = jax.lax.broadcasted_iota(jnp.int32, (height, hw), 0)
+    j_hw = jax.lax.broadcasted_iota(jnp.int32, (height, hw), 1)
+    rep_h = (i_h == (j_hw // width)).astype(jnp.float32)  # R2 (H, H*W)
+    i_w = jax.lax.broadcasted_iota(jnp.int32, (width, hw), 0)
+    j_hw2 = jax.lax.broadcasted_iota(jnp.int32, (width, hw), 1)
+    rep_w = (i_w == (j_hw2 % width)).astype(jnp.float32)  # S2 (W, H*W)
 
-    c = jnp.maximum(coord, 0.0)
-    low = jnp.floor(c)
-    at_edge = low >= length - 1
-    low = jnp.minimum(low, length - 1.0)
-    high = jnp.minimum(low + 1.0, length - 1.0)
-    lw = jnp.where(at_edge, 0.0, c - low)
-    hw = 1.0 - lw
+    for b in range(block_n):
+        x1, y1, x2, y2 = _roi_scalars(rois_smem, nb * block_n + b,
+                                      spatial_scale)
+        ay = _sep_weight(ybins, hpos, y1, y2 - y1, r, grid_cap, height,
+                         sampling_ratio)  # (R, H)
+        ax = _sep_weight(xbins, wpos, x1, x2 - x1, r, grid_cap, width,
+                         sampling_ratio)  # (R, W)
+        p1 = jnp.dot(
+            rep_y, jnp.dot(ay, rep_h, preferred_element_type=jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        p2 = jnp.dot(
+            rep_x, jnp.dot(ax, rep_w, preferred_element_type=jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[b * r2 : (b + 1) * r2, :] = p1 * p2
 
-    pos = jax.lax.broadcasted_iota(
-        jnp.int32, (bn, r, grid_cap, length), 3
-    ).astype(jnp.float32)  # (BN, R, G, L)
-    contrib = (pos == low[..., None]) * hw[..., None] + (
-        pos == high[..., None]
-    ) * lw[..., None]
-    contrib = jnp.where(ok[..., None], contrib, 0.0)
-    # sum over samples, fold in the 1/g normalization
-    return jnp.sum(contrib, axis=2) * inv_g[:, None, None]  # (BN, R, L)
 
-
-def _fwd_kernel(rois_ref, feat_ref, out_ref, *, r, spatial_scale,
-                sampling_ratio, grid_cap, height, width):
+def _fwd_kernel(rois_smem, f3_ref, out_ref, m_s, *, r, spatial_scale,
+                sampling_ratio, grid_cap, height, width, block_n):
     nb = pl.program_id(1)
-    bn = out_ref.shape[0]
-    bc = feat_ref.shape[2]
-
-    rois = rois_ref[pl.ds(nb * bn, bn), :]  # (BN, 4)
-    x1 = rois[:, 0] * spatial_scale - 0.5
-    y1 = rois[:, 1] * spatial_scale - 0.5
-    x2 = rois[:, 2] * spatial_scale - 0.5
-    y2 = rois[:, 3] * spatial_scale - 0.5
-
-    ay = _axis_weights(y1, y2 - y1, r, grid_cap, height, sampling_ratio)
-    ax = _axis_weights(x1, x2 - x1, r, grid_cap, width, sampling_ratio)
-
-    f2 = feat_ref[:].astype(jnp.float32).reshape(height, width * bc)
-    t = jnp.dot(
-        ay.reshape(bn * r, height), f2, preferred_element_type=jnp.float32
-    )  # (BN*R, W*BC)
-    t = t.reshape(bn, r, width, bc)
-    # out[b, y, x, c] = sum_w ax[b, x, w] * t[b, y, w, c]
-    out = jax.lax.dot_general(
-        ax,
-        t.reshape(bn, r * width, bc).reshape(bn, r, width, bc).transpose(0, 2, 1, 3).reshape(bn, width, r * bc),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+    bc = f3_ref.shape[1]
+    _build_m(rois_smem, nb, block_n, m_s, r=r, spatial_scale=spatial_scale,
+             sampling_ratio=sampling_ratio, grid_cap=grid_cap,
+             height=height, width=width)
+    # matmul operand precision follows the feature dtype: bf16 features
+    # (the model's compute dtype) get single-pass MXU; f32 keeps full
+    # precision for parity tests
+    out = jnp.dot(
+        m_s[:].astype(f3_ref.dtype), f3_ref[:],
         preferred_element_type=jnp.float32,
-    )  # (BN, R(x), R(y)*BC)
-    out = out.reshape(bn, r, r, bc).transpose(0, 2, 1, 3)  # (BN, y, x, BC)
-    out_ref[:] = out.astype(out_ref.dtype)
+    )  # (BN*R^2, BC)
+    out_ref[:] = out.reshape(block_n, r, r, bc).astype(out_ref.dtype)
 
 
-def _bwd_kernel(rois_ref, g_ref, dfeat_ref, *, r, spatial_scale,
-                sampling_ratio, grid_cap, height, width):
+def _bwd_kernel(rois_smem, g_ref, df3_ref, m_s, *, r, spatial_scale,
+                sampling_ratio, grid_cap, height, width, block_n):
     nb = pl.program_id(1)
-    num_nb = pl.num_programs(1)
-    bn = g_ref.shape[0]
     bc = g_ref.shape[3]
-
-    rois = rois_ref[pl.ds(nb * bn, bn), :]
-    x1 = rois[:, 0] * spatial_scale - 0.5
-    y1 = rois[:, 1] * spatial_scale - 0.5
-    x2 = rois[:, 2] * spatial_scale - 0.5
-    y2 = rois[:, 3] * spatial_scale - 0.5
-    ay = _axis_weights(y1, y2 - y1, r, grid_cap, height, sampling_ratio)
-    ax = _axis_weights(x1, x2 - x1, r, grid_cap, width, sampling_ratio)
-
-    g = g_ref[:].astype(jnp.float32)  # (BN, R, R, BC)
-    # tmp[b, y, w, c] = sum_x ax[b, x, w] * g[b, y, x, c]
-    tmp = jax.lax.dot_general(
-        ax,
-        g.transpose(0, 2, 1, 3).reshape(bn, r, r * bc),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (BN, W, R(y)*BC)
-    # dF[h, w, c] += sum_b sum_y ay[b, y, h] * tmp[b, w, y, c]
-    tmp = tmp.reshape(bn, width, r, bc).transpose(0, 2, 1, 3)  # (BN,R,W,BC)
-    df = jnp.dot(
-        ay.reshape(bn * r, height).T,
-        tmp.reshape(bn * r, width * bc),
-        preferred_element_type=jnp.float32,
-    ).reshape(height, width, bc)
+    r2 = r * r
+    _build_m(rois_smem, nb, block_n, m_s, r=r, spatial_scale=spatial_scale,
+             sampling_ratio=sampling_ratio, grid_cap=grid_cap,
+             height=height, width=width)
 
     @pl.when(nb == 0)
     def _():
-        dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+        df3_ref[:] = jnp.zeros_like(df3_ref)
 
-    dfeat_ref[:] += df.astype(dfeat_ref.dtype)
+    g2 = g_ref[:].reshape(block_n * r2, bc)
+    dfb = jnp.dot(
+        m_s[:].T.astype(g2.dtype), g2, preferred_element_type=jnp.float32
+    )  # (H*W, BC)
+    df3_ref[:] += dfb.astype(df3_ref.dtype)
 
 
 def _pad_n(rois, block_n):
@@ -165,11 +180,22 @@ def _pad_n(rois, block_n):
     return rois, n
 
 
-def _pick_block_c(channels, block_c):
+def _pick_blocks(height, width, channels, r, block_n, block_c):
+    """Shrink (block_n, block_c) until M + F + out fit the VMEM budget."""
+    hw = height * width
     bc = min(block_c, channels)
     while channels % bc:
         bc //= 2
-    return max(bc, 1)
+    bn = block_n
+    while bn > 1 and (bn * r * r * hw + hw * bc + bn * r * r * bc) * 4 > (
+        VMEM_BUDGET_BYTES
+    ):
+        bn //= 2
+    while bc > 128 and (bn * r * r * hw + hw * bc + bn * r * r * bc) * 4 > (
+        VMEM_BUDGET_BYTES
+    ):
+        bc //= 2
+    return bn, max(bc, 1)
 
 
 @functools.partial(
@@ -183,8 +209,8 @@ def roi_align_pallas(
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 0,
     max_adaptive_grid: int = 4,
-    block_n: int = DEFAULT_BLOCK_N,
-    block_c: int = DEFAULT_BLOCK_C,
+    block_n: int = 8,
+    block_c: int = 512,
 ):
     """Pallas RoIAlign: features (H, W, C) + rois (N, 4) -> (N, R, R, C)."""
     return _forward(
@@ -193,44 +219,57 @@ def roi_align_pallas(
     )
 
 
+def _common(features, rois, r, block_n, block_c):
+    height, width, channels = features.shape
+    block_n, bc = _pick_blocks(height, width, channels, r, block_n, block_c)
+    rois_p, n = _pad_n(jnp.asarray(rois, jnp.float32), block_n)
+    f3 = features.reshape(height * width, channels)
+    return height, width, channels, block_n, bc, rois_p, n, f3
+
+
 def _forward(features, rois, r, spatial_scale, sampling_ratio, grid_cap,
              block_n, block_c):
-    height, width, channels = features.shape
-    rois_p, n = _pad_n(jnp.asarray(rois, jnp.float32), block_n)
+    height, width, channels, block_n, bc, rois_p, n, f3 = _common(
+        features, rois, r, block_n, block_c
+    )
     n_pad = rois_p.shape[0]
-    bc = _pick_block_c(channels, block_c)
     num_cb = channels // bc
     num_nb = n_pad // block_n
 
     kernel = functools.partial(
         _fwd_kernel, r=r, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, grid_cap=grid_cap,
-        height=height, width=width,
+        height=height, width=width, block_n=block_n,
     )
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(num_cb, num_nb),
         in_specs=[
-            pl.BlockSpec((n_pad, 4), lambda cb, nb: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((height, width, bc), lambda cb, nb: (0, 0, cb),
+            pl.BlockSpec((height * width, bc), lambda cb, nb, *_: (0, cb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (block_n, r, r, bc), lambda cb, nb: (nb, 0, 0, cb),
+            (block_n, r, r, bc), lambda cb, nb, *_: (nb, 0, 0, cb),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_n * r * r, height * width), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_pad, r, r, channels), features.dtype
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * r * height * width * channels,
+            flops=2 * n_pad * r * r * height * width * channels,
             bytes_accessed=int(
                 features.size * 4 * num_nb + n_pad * r * r * channels * 4
             ),
             transcendentals=0,
         ),
-    )(rois_p, features)
+    )(rois_p.reshape(-1), f3)
     return out[:n]
 
 
@@ -246,35 +285,42 @@ def _fwd_rule(features, rois, r, spatial_scale, sampling_ratio, grid_cap,
 def _bwd_rule(r, spatial_scale, sampling_ratio, grid_cap, block_n, block_c,
               res, g):
     features, rois = res
-    height, width, channels = features.shape
-    rois_p, n = _pad_n(jnp.asarray(rois, jnp.float32), block_n)
+    height, width, channels, block_n, bc, rois_p, n, _ = _common(
+        features, rois, r, block_n, block_c
+    )
     n_pad = rois_p.shape[0]
     g_p = jnp.zeros((n_pad, r, r, channels), g.dtype).at[:n].set(g)
-    bc = _pick_block_c(channels, block_c)
     num_cb = channels // bc
     num_nb = n_pad // block_n
 
     kernel = functools.partial(
         _bwd_kernel, r=r, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, grid_cap=grid_cap,
-        height=height, width=width,
+        height=height, width=width, block_n=block_n,
     )
-    dfeat = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(num_cb, num_nb),
         in_specs=[
-            pl.BlockSpec((n_pad, 4), lambda cb, nb: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, r, r, bc), lambda cb, nb: (nb, 0, 0, cb),
+            pl.BlockSpec((block_n, r, r, bc), lambda cb, nb, *_: (nb, 0, 0, cb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (height, width, bc), lambda cb, nb: (0, 0, cb),
+            (height * width, bc), lambda cb, nb, *_: (0, cb),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((height, width, channels), features.dtype),
-    )(rois_p, g_p)
-    return dfeat, jnp.zeros_like(rois)
+        scratch_shapes=[
+            pltpu.VMEM((block_n * r * r, height * width), jnp.float32),
+        ],
+    )
+    df3 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (height * width, channels), features.dtype
+        ),
+    )(rois_p.reshape(-1), g_p)
+    return df3.reshape(height, width, channels), jnp.zeros_like(rois)
 
 
 roi_align_pallas.defvjp(_fwd_rule, _bwd_rule)
