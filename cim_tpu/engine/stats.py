@@ -115,6 +115,35 @@ class TrainingStats:
         return stats
 
 
+def send_failure_email(subject: str, body: str, to: str, smtp_host="localhost"):
+    """Email on expected-result regression (reference
+    lib/utils/logging.py:86-92). No-op when no recipient configured."""
+    if not to:
+        return False
+    import smtplib
+    from email.mime.text import MIMEText
+
+    try:
+        msg = MIMEText(body)
+        msg["Subject"] = subject
+        msg["To"] = to
+        with smtplib.SMTP(smtp_host) as s:
+            s.sendmail("cim_tpu", [to], msg.as_string())
+        return True
+    except OSError as e:  # no smtp in most environments
+        logger.warning("failure email not sent: %s", e)
+        return False
+
+
+def profile_trace(log_dir: str):
+    """Context manager: jax.profiler trace of the enclosed steps (the
+    TPU replacement for the reference's wall-clock-only Timer telemetry,
+    SURVEY.md §5)."""
+    import jax
+
+    return jax.profiler.trace(log_dir)
+
+
 def setup_logging(name=None, level=logging.INFO):
     fmt = "[%(asctime)s %(name)s]: %(message)s"
     logging.basicConfig(level=level, format=fmt)

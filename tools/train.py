@@ -47,6 +47,8 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=3)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic fixtures (no data on disk)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of steps 5-10")
     parser.add_argument("--debug", action="store_true")
     return parser.parse_args()
 
@@ -185,9 +187,21 @@ def main():
     )
 
     step = int(trainer.state.step)
+    profiling = False
     try:
         logger.info("Training starts!")
         while step < cfg.SOLVER.MAX_ITER:
+            if args.profile_dir and step == 5 and not profiling:
+                import jax.profiler
+
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
+            if profiling and step >= 10:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s", args.profile_dir)
             batch = next(loader_iter)
             training_stats.iter_tic()
             metrics = trainer.step(batch, jax.random.PRNGKey(args.seed + step))
