@@ -195,6 +195,14 @@ def box_results_with_nms_and_limit(cfg, scores, boxes):
         else:
             keep = nms_np(dets_j, cfg.TEST.NMS)
             nms_dets = dets_j[keep]
+        # post-NMS box voting (reference test.py:390-396; off by default)
+        if cfg.TEST.BBOX_VOTE.ENABLED and len(nms_dets):
+            from cim_tpu.ops.boxes import box_voting_np
+
+            nms_dets = box_voting_np(
+                nms_dets, dets_j, cfg.TEST.BBOX_VOTE.VOTE_TH,
+                scoring_method=cfg.TEST.BBOX_VOTE.SCORING_METHOD,
+            )
         cls_boxes[j] = nms_dets
 
     if cfg.TEST.DETECTIONS_PER_IM > 0:

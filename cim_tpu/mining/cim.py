@@ -226,14 +226,21 @@ def anti_noise_resample(mined: MinedGT, labels, rng_key) -> MinedGT:
     def sample_one(key, member, weights):
         n_c = jnp.sum(member.astype(jnp.int32))
         pos = member & (weights > 0)
-        # np.random.choice(p=w/w.sum()); all-zero weights would raise in the
-        # reference — fall back to uniform over members instead.
-        logits = jnp.where(
+        # np.random.choice(p=w/w.sum()) draws are iid categorical samples;
+        # CDF inversion gives the same distribution in O(N log N) instead
+        # of the O(N^2) gumbel materialization of jax.random.categorical.
+        # All-zero weights would raise in the reference — fall back to
+        # uniform over members instead.
+        w_pos = jnp.where(pos, weights, 0.0)
+        p = jnp.where(
             jnp.any(pos),
-            jnp.where(pos, jnp.log(jnp.clip(weights, 1e-20)), NEG),
-            jnp.where(member, 0.0, NEG),
+            w_pos / jnp.maximum(jnp.sum(w_pos), 1e-20),
+            member.astype(weights.dtype)
+            / jnp.maximum(jnp.sum(member.astype(weights.dtype)), 1.0),
         )
-        draws = jax.random.categorical(key, logits, shape=(n,))
+        cdf = jnp.cumsum(p)
+        u = jax.random.uniform(key, (n,))
+        draws = jnp.clip(jnp.searchsorted(cdf, u), 0, n - 1)
         t_ok = jnp.arange(n) < n_c
         return jnp.zeros((n,), bool).at[draws].max(t_ok)
 

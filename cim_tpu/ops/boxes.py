@@ -89,6 +89,74 @@ def flip_boxes(boxes, im_width):
     return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
 
 
+def bbox_transform(boxes, deltas, weights=(1.0, 1.0, 1.0, 1.0),
+                   clip_value=4.828313737):
+    """Apply regression deltas to xyxy boxes (reference
+    lib/utils/boxes.py bbox_transform; clip = log(1000/8) =
+    cfg.BBOX_XFORM_CLIP). Unused by the shipped CIM configs (no bbox
+    regression head) but part of the box-utility surface."""
+    wx, wy, ww, wh = weights
+    widths = boxes[..., 2] - boxes[..., 0] + 1.0
+    heights = boxes[..., 3] - boxes[..., 1] + 1.0
+    ctr_x = boxes[..., 0] + 0.5 * widths
+    ctr_y = boxes[..., 1] + 0.5 * heights
+
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = jnp.minimum(deltas[..., 2] / ww, clip_value)
+    dh = jnp.minimum(deltas[..., 3] / wh, clip_value)
+
+    pred_ctr_x = dx * widths + ctr_x
+    pred_ctr_y = dy * heights + ctr_y
+    pred_w = jnp.exp(dw) * widths
+    pred_h = jnp.exp(dh) * heights
+    return jnp.stack(
+        [
+            pred_ctr_x - 0.5 * pred_w,
+            pred_ctr_y - 0.5 * pred_h,
+            pred_ctr_x + 0.5 * pred_w - 1.0,
+            pred_ctr_y + 0.5 * pred_h - 1.0,
+        ],
+        axis=-1,
+    )
+
+
+def box_voting_np(top_dets, all_dets, thresh, scoring_method="ID", beta=1.0):
+    """Bounding-box voting (reference lib/utils/boxes.py box_voting,
+    arXiv:1505.01749; host-side eval refinement, off by default
+    cfg.TEST.BBOX_VOTE). top_dets/all_dets: (n, 5) numpy arrays."""
+    import numpy as np
+
+    top_boxes = top_dets[:, :4]
+    all_boxes = all_dets[:, :4]
+    all_scores = all_dets[:, 4]
+    out = top_dets.copy()
+    iou = np.asarray(
+        box_iou(jnp.asarray(top_boxes), jnp.asarray(all_boxes), True)
+    )
+    for k in range(top_dets.shape[0]):
+        inds = np.where(iou[k] >= thresh)[0]
+        boxes_to_vote = all_boxes[inds]
+        ws = all_scores[inds]
+        out[k, :4] = np.average(boxes_to_vote, axis=0, weights=ws)
+        if scoring_method == "ID":
+            pass
+        elif scoring_method == "TEMP_AVG":
+            p = 1.0 / (1.0 + np.exp(-all_scores[inds] / beta))
+            out[k, 4] = np.log(p.mean() / (1 - p.mean() + 1e-12)) * beta
+        elif scoring_method == "AVG":
+            out[k, 4] = ws.mean()
+        elif scoring_method == "IOU_AVG":
+            out[k, 4] = np.average(ws, weights=iou[k, inds])
+        elif scoring_method == "GENERALIZED_AVG":
+            out[k, 4] = np.mean(ws**beta) ** (1.0 / beta)
+        elif scoring_method == "QUASI_SUM":
+            out[k, 4] = ws.sum() / float(len(ws)) ** beta
+        else:
+            raise NotImplementedError(scoring_method)
+    return out
+
+
 def aspect_ratio(boxes, ratio):
     """Scale x coordinates by a width-relative aspect ratio
     (reference lib/utils/boxes.py aspect_ratio)."""
