@@ -109,6 +109,72 @@ class FrozenBatchNorm(nn.Module):
         return x * inv.astype(x.dtype) + off.astype(x.dtype)
 
 
+class AffineChannel2d(nn.Module):
+    """Per-channel affine y = x * weight + bias (reference
+    lib/nn/modules/affine.py AffineChannel2d — detectron's frozen-BN
+    replacement without stored statistics). NHWC."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+class BilinearInterpolation2d(nn.Module):
+    """Fixed (non-trainable) bilinear 2x-style upsampling implemented as
+    a transposed conv with frozen bilinear weights (reference
+    lib/nn/modules/upsample.py BilinearInterpolation2d)."""
+
+    features: int
+    up_scale: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.up_scale * 2 - self.up_scale % 2
+        import numpy as np
+
+        def bilinear_kernel(key, shape, dtype=jnp.float32):
+            del key
+            factor = (k + 1) // 2
+            center = factor - 1 if k % 2 == 1 else factor - 0.5
+            og = np.ogrid[:k, :k]
+            filt = (1 - abs(og[0] - center) / factor) * (
+                1 - abs(og[1] - center) / factor
+            )
+            w = np.zeros(shape, np.float32)
+            for c in range(self.features):
+                w[:, :, c, c] = filt
+            return jnp.asarray(w, dtype)
+
+        w = self.param("kernel", bilinear_kernel, (k, k, self.features, self.features))
+        pad = int(jnp.ceil((k - self.up_scale) / 2.0))
+        return jax.lax.conv_transpose(
+            x, jax.lax.stop_gradient(w),
+            strides=(self.up_scale, self.up_scale),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def xavier_fill_init():
+    """Caffe2 XavierFill == fan-in uniform (reference lib/nn/init.py:11-16)."""
+    return nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+
+
+def msra_fill_init():
+    """Caffe2 MSRAFill == fan-out normal He init (reference lib/nn/init.py:19-24)."""
+    return nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def group_norm(num_groups: int = 32, epsilon: float = 1e-5):
+    """GroupNorm (reference lib/nn/modules/normalization.py via
+    cfg.GROUP_NORM; flax-native)."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=epsilon)
+
+
 def max_pool_torch(x, window: int, stride: int, padding: int):
     """torch-compatible max pooling (NHWC, explicit symmetric padding)."""
     return nn.max_pool(
