@@ -166,6 +166,145 @@ def convert_cls_iou_heads(sd, refine_times=3, prefix="cls_iou_model.") -> Dict:
     return out
 
 
+def _hr_convbn(sd, conv_key, bn_key, name):
+    """(params, stats) for a TorchConv+FrozenBatchNorm pair named
+    f'{name}_conv' / f'{name}_bn' in cim_tpu.models.hrnet."""
+    params = {f"{name}_conv": {"conv": {"kernel": conv_w(sd[conv_key + ".weight"])}}}
+    if conv_key + ".bias" in sd:
+        params[f"{name}_conv"]["conv"]["bias"] = _t(sd[conv_key + ".bias"])
+    p, s = _bn(sd, bn_key)
+    return params, {f"{name}_bn": p}, {f"{name}_bn": s}
+
+
+def _hr_block(sd, prefix, kind):
+    """One BasicBlock/Bottleneck: torch conv1/bn1[... conv3/bn3]
+    [downsample.0/1] -> hrnet.py c1/c2[/c3][/ds] naming."""
+    params: Dict = {}
+    stats: Dict = {}
+    n_convs = 3 if kind == "BOTTLENECK" else 2
+    for i in range(1, n_convs + 1):
+        p, bp, bs = _hr_convbn(sd, f"{prefix}.conv{i}", f"{prefix}.bn{i}", f"c{i}")
+        params.update(p)
+        params.update(bp)
+        stats.update(bs)
+    if f"{prefix}.downsample.0.weight" in sd:
+        p, bp, bs = _hr_convbn(
+            sd, f"{prefix}.downsample.0", f"{prefix}.downsample.1", "ds"
+        )
+        params.update(p)
+        params.update(bp)
+        stats.update(bs)
+    return params, stats
+
+
+def convert_hrnet_w48(sd, stages=None):
+    """HRNetV2-W48 imagenet checkpoint -> flax variables for HRNetW48
+    (reference lib/utils/hrnet_weights_helper.py:15-39 loads by state-dict
+    intersection; here an explicit name map). Returns {'params','stats'}."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    stages = stages or {
+        "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [4, 4]},
+        "STAGE3": {"NUM_MODULES": 4, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [4, 4, 4]},
+        "STAGE4": {"NUM_MODULES": 3, "NUM_BRANCHES": 4, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [4, 4, 4, 4]},
+    }
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(pp, ss):
+        params.update(pp)
+        stats.update(ss)
+
+    # stem
+    p, bp, bs = _hr_convbn(sd, "conv1", "bn1", "stem1")
+    put({**p, **bp}, bs)
+    p, bp, bs = _hr_convbn(sd, "conv2", "bn2", "stem2")
+    put({**p, **bp}, bs)
+    # layer1 (4 bottlenecks)
+    for b in range(4):
+        pp, ss = _hr_block(sd, f"layer1.{b}", "BOTTLENECK")
+        params[f"layer1_b{b}"] = pp
+        stats[f"layer1_b{b}"] = ss
+
+    # transitions + stages
+    for s_i in (2, 3, 4):
+        sc = stages[f"STAGE{s_i}"]
+        t = f"transition{s_i - 1}"
+        for i in range(sc["NUM_BRANCHES"]):
+            if f"{t}.{i}.0.weight" in sd:
+                # same-resolution 3x3 conv branch
+                p, bp, bs = _hr_convbn(
+                    sd, f"{t}.{i}.0", f"{t}.{i}.1", f"trans{s_i}_{i}"
+                )
+                put({**p, **bp}, bs)
+            else:
+                # chain of stride-2 convs: {t}.{i}.{j}.0/.1
+                j = 0
+                while f"{t}.{i}.{j}.0.weight" in sd:
+                    p, bp, bs = _hr_convbn(
+                        sd, f"{t}.{i}.{j}.0", f"{t}.{i}.{j}.1",
+                        f"trans{s_i}_{i}_{j}",
+                    )
+                    put({**p, **bp}, bs)
+                    j += 1
+        for m in range(sc["NUM_MODULES"]):
+            mod_p: Dict = {}
+            mod_s: Dict = {}
+            base = f"stage{s_i}.{m}"
+            for i in range(sc["NUM_BRANCHES"]):
+                for b in range(sc["NUM_BLOCKS"][i]):
+                    pp, ss = _hr_block(
+                        sd, f"{base}.branches.{i}.{b}", sc["BLOCK"]
+                    )
+                    mod_p[f"branch{i}_block{b}"] = pp
+                    mod_s[f"branch{i}_block{b}"] = ss
+            # fuse layers: torch fuse_layers.i.j is Sequential(conv, bn[, up])
+            # for j > i, or a list of stride-2 conv+bn(+relu) for j < i
+            for i in range(sc["NUM_BRANCHES"]):
+                for j in range(sc["NUM_BRANCHES"]):
+                    if j == i:
+                        continue
+                    if j > i:
+                        key = f"{base}.fuse_layers.{i}.{j}"
+                        if f"{key}.0.weight" not in sd:
+                            continue
+                        p, bp, bs = _hr_convbn(
+                            sd, f"{key}.0", f"{key}.1", f"fuse{i}_{j}"
+                        )
+                        flat_p = {**p, **bp}
+                        mod_p.update(flat_p)
+                        mod_s.update(bs)
+                    else:
+                        for k in range(i - j):
+                            key = f"{base}.fuse_layers.{i}.{j}.{k}"
+                            if f"{key}.0.weight" not in sd:
+                                continue
+                            p, bp, bs = _hr_convbn(
+                                sd, f"{key}.0", f"{key}.1", f"fuse{i}_{j}_{k}"
+                            )
+                            mod_p.update({**p, **bp})
+                            mod_s.update(bs)
+            params[f"stage{s_i}_m{m}"] = mod_p
+            stats[f"stage{s_i}_m{m}"] = mod_s
+
+    # classification head
+    for i in range(4):
+        pp, ss = _hr_block(sd, f"incre_modules.{i}.0", "BOTTLENECK")
+        params[f"incre{i}"] = pp
+        stats[f"incre{i}"] = ss
+    for i in range(3):
+        p, bp, bs = _hr_convbn(
+            sd, f"downsamp_modules.{i}.0", f"downsamp_modules.{i}.1",
+            f"downsamp{i}",
+        )
+        put({**p, **bp}, bs)
+    p, bp, bs = _hr_convbn(sd, "final_layer.0", "final_layer.1", "final")
+    put({**p, **bp}, bs)
+    return {"params": params, "stats": stats}
+
+
 def convert_prm_checkpoint(sd, num_classes=20):
     """fc_resnet50 PRM checkpoint -> FCResNet50 flax variables.
 
