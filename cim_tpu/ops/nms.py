@@ -32,9 +32,17 @@ NEG_INF = -1e30
 def greedy_nms_from_iou(iou, scores, thresh, valid=None):
     """Exact greedy NMS given an (N, N) IoU matrix.
 
-    Iterates candidates in descending score order (stable ties — numpy
-    semantics); a candidate is kept iff it is not suppressed by any
-    previously-kept higher-scoring candidate with ``iou >= thresh``.
+    Semantics: iterate candidates in descending score order (stable ties —
+    numpy order); a candidate is kept iff it is not suppressed by any
+    previously-kept higher-ranked candidate with ``iou >= thresh``.
+
+    Implementation: the greedy outcome is the unique fixpoint of
+        kept(i)       = no higher-ranked overlapping j is kept or undecided
+        suppressed(i) = some higher-ranked overlapping j is kept
+    so instead of an N-step sequential loop, a while_loop resolves whole
+    "generations" per round with vectorized matrix ops — the round count is
+    the longest suppression chain (typically < 10), and each round is a
+    masked (N, N) reduction that vmaps cleanly over classes.
 
     Args:
       iou: (N, N) pairwise IoU (any symmetric overlap measure).
@@ -50,23 +58,35 @@ def greedy_nms_from_iou(iou, scores, thresh, valid=None):
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     s = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-s)  # stable descending
-    iou_s = iou[order][:, order]
-    valid_s = valid[order]
-    pos = jnp.arange(n)
+    # stable descending rank (ties resolved by original index, like the
+    # reference's sorted()/argsort ordering)
+    order = jnp.argsort(-s)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    # M[i, j] = True when j is a higher-ranked overlapping candidate of i
+    m = (
+        (rank[None, :] < rank[:, None])
+        & (iou >= thresh)
+        & valid[None, :]
+        & valid[:, None]
+    )
 
-    def body(i, suppressed):
-        kept_i = jnp.logical_and(~suppressed[i], valid_s[i])
-        row = iou_s[i] >= thresh
-        newly = jnp.logical_and(jnp.logical_and(kept_i, row), pos > i)
-        return jnp.logical_or(suppressed, newly)
+    def cond(state):
+        kept, suppressed = state
+        return jnp.any(valid & ~kept & ~suppressed)
 
-    # init derived from valid_s (all-False) so its sharding/vma matches the
-    # loop body output under shard_map (a literal zeros() would be unvarying)
-    suppressed = jax.lax.fori_loop(0, n, body, valid_s & ~valid_s)
-    keep_sorted = jnp.logical_and(~suppressed, valid_s)
-    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
-    return keep
+    def body(state):
+        kept, suppressed = state
+        undecided_or_kept = ~suppressed
+        blocked = jnp.any(m & undecided_or_kept[None, :], axis=1)
+        new_kept = valid & ~suppressed & ~blocked
+        kept = kept | new_kept
+        new_sup = jnp.any(m & kept[None, :], axis=1)
+        suppressed = suppressed | (new_sup & ~kept)
+        return kept, suppressed
+
+    init = (valid & ~valid, valid & ~valid)  # all-False, vma-following
+    kept, _ = jax.lax.while_loop(cond, body, init)
+    return kept
 
 
 @functools.partial(jax.jit, static_argnames=("legacy_plus_one",))
