@@ -31,8 +31,8 @@ def save_ckpt(ckpt_dir: str, state: TrainState, stats: Any, extra: dict | None =
     mgr = _manager(ckpt_dir)
     payload = {
         "params": state.params,
-        "momentum": state.opt_state.momentum,
-        "prev_lr": state.opt_state.prev_lr,
+        # optimizer state as a plain dict: works for SGDState and AdamState
+        "opt_state": dict(state.opt_state._asdict()),
         "stats": stats,
         "extra": extra or {},
     }
@@ -60,20 +60,16 @@ def load_ckpt(ckpt_dir: str, state: TrainState, stats: Any, step: int | None = N
         raise FileNotFoundError(f"No checkpoint in {ckpt_dir}")
     template = {
         "params": state.params,
-        "momentum": state.opt_state.momentum,
-        "prev_lr": state.opt_state.prev_lr,
+        "opt_state": dict(state.opt_state._asdict()),
         "stats": stats,
         "extra": {},
     }
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
-    from cim_tpu.engine.optimizer import SGDState
-
+    opt_state = type(state.opt_state)(**restored["opt_state"])
     new_state = TrainState(
         params=restored["params"],
-        opt_state=SGDState(
-            momentum=restored["momentum"], prev_lr=restored["prev_lr"]
-        ),
+        opt_state=opt_state,
         step=np.asarray(step, np.int32) + 1,  # resume at step+1 (train.py:328)
     )
     return new_state, restored["stats"]

@@ -30,6 +30,13 @@ class SGDState(NamedTuple):
     prev_lr: jax.Array
 
 
+class AdamState(NamedTuple):
+    mu: Any
+    nu: Any
+    count: jax.Array
+    prev_lr: jax.Array
+
+
 def lr_schedule(cfg, step):
     """steps_with_decay + warmup. `step` may be traced."""
     base = cfg.SOLVER.BASE_LR
@@ -86,6 +93,62 @@ def build_masks(params, frozen_prefixes, freeze_conv_body: bool = False):
     )
     bias = jax.tree_util.tree_map_with_path(lambda p, x: classify(p, x)[1], params)
     return trainable, bias
+
+
+def make_adam(cfg, trainable_mask, bias_mask, b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam semantics (reference SOLVER.TYPE == 'Adam',
+    tools/train.py:310-311): bias-corrected moments, per-group LR (bias
+    2x when BIAS_DOUBLE_LR), L2 term added to the gradient like torch's
+    weight_decay."""
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    bias_wd = cfg.SOLVER.WEIGHT_DECAY if cfg.SOLVER.BIAS_WEIGHT_DECAY else 0.0
+    bias_mult = 2.0 if cfg.SOLVER.BIAS_DOUBLE_LR else 1.0
+
+    def init(params):
+        return AdamState(
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+            count=jnp.zeros((), jnp.int32),
+            prev_lr=jnp.zeros((), jnp.float32),
+        )
+
+    def update(grads, state: AdamState, params, lr):
+        lr = jnp.asarray(lr, jnp.float32)
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def new_moments(g, mu, nu, p, is_bias):
+            decay = bias_wd if is_bias else wd
+            d = g + decay * p
+            return b1 * mu + (1 - b1) * d, b2 * nu + (1 - b2) * d * d
+
+        moments = jax.tree.map(
+            new_moments, grads, state.mu, state.nu, params, bias_mask
+        )
+        mu = jax.tree.map(lambda t: t[0], moments, is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree.map(lambda t: t[1], moments, is_leaf=lambda x: isinstance(x, tuple))
+
+        def new_p(p, m, v, train, is_bias):
+            step_lr = lr * (bias_mult if is_bias else 1.0)
+            upd = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            return jnp.where(train, p - step_lr * upd, p)
+
+        new_params = jax.tree.map(
+            new_p, params, mu, nu, trainable_mask, bias_mask
+        )
+        return new_params, AdamState(mu=mu, nu=nu, count=count, prev_lr=lr)
+
+    return init, update
+
+
+def make_optimizer(cfg, trainable_mask, bias_mask):
+    """SOLVER.TYPE dispatch (reference tools/train.py:308-311)."""
+    if cfg.SOLVER.TYPE == "SGD":
+        return make_sgd(cfg, trainable_mask, bias_mask)
+    if cfg.SOLVER.TYPE == "Adam":
+        return make_adam(cfg, trainable_mask, bias_mask)
+    raise ValueError(f"Unknown SOLVER.TYPE: {cfg.SOLVER.TYPE}")
 
 
 def make_sgd(cfg, trainable_mask, bias_mask):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cim_tpu.engine.optimizer import build_masks, lr_schedule, make_sgd
+from cim_tpu.engine.optimizer import build_masks, lr_schedule, make_optimizer
 from cim_tpu.mining.cim import MiningParams, cim_layer
 from cim_tpu.mining.losses import cls_iou_loss, mil_bag_loss, pcl_loss
 from cim_tpu.models.builder import build_model, frozen_paths_for
@@ -162,7 +162,7 @@ class Trainer:
         trainable, bias = build_masks(
             params, frozen_paths_for(cfg), cfg.TRAIN.FREEZE_CONV_BODY
         )
-        self.opt_init, self.opt_update = make_sgd(cfg, trainable, bias)
+        self.opt_init, self.opt_update = make_optimizer(cfg, trainable, bias)
         self.state = TrainState(
             params=params,
             opt_state=self.opt_init(params),

@@ -129,3 +129,49 @@ def test_frozen_params_never_move():
         np.asarray(params["conv_body"]["res1_conv"]["conv"]["kernel"]), [1, 1]
     )
     assert (np.asarray(params["head"]["dense"]["kernel"]) != 1).all()
+
+
+def test_adam_matches_torch_semantics():
+    import torch
+
+    from cim_tpu.engine.optimizer import make_adam
+
+    cfg = get_default_cfg()
+    cfg.SOLVER.WEIGHT_DECAY = 0.01
+    cfg.SOLVER.BIAS_DOUBLE_LR = True
+    cfg.SOLVER.BIAS_WEIGHT_DECAY = False
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    b0 = np.array([0.5, -0.5], np.float32)
+    gw = np.array([0.1, 0.2, -0.3], np.float32)
+    gb = np.array([0.05, -0.02], np.float32)
+    lr = 0.01
+
+    tw = torch.tensor(w0, requires_grad=True)
+    tb = torch.tensor(b0, requires_grad=True)
+    opt = torch.optim.Adam(
+        [
+            {"params": [tw], "lr": lr, "weight_decay": 0.01},
+            {"params": [tb], "lr": lr * 2, "weight_decay": 0.0},
+        ]
+    )
+    for _ in range(4):
+        opt.zero_grad()
+        tw.grad = torch.tensor(gw)
+        tb.grad = torch.tensor(gb)
+        opt.step()
+
+    params = {"layer": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    grads = {"layer": {"kernel": jnp.asarray(gw), "bias": jnp.asarray(gb)}}
+    trainable, bias = build_masks(params, [])
+    init, update = make_adam(cfg, trainable, bias)
+    state = init(params)
+    for _ in range(4):
+        params, state = update(grads, state, params, lr)
+
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["kernel"]), tw.detach().numpy(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["layer"]["bias"]), tb.detach().numpy(), rtol=1e-5
+    )
