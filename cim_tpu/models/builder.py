@@ -98,6 +98,12 @@ class CIMModel(nn.Module):
             name="cls_iou",
         )
 
+    def convbody_net(self, image):
+        """Conv body only (reference Generalized_RCNN.convbody_net,
+        model_builder.py:235-239) — apply with method=CIMModel.convbody_net."""
+        x = image.astype(self.compute_dtype)[None]
+        return self.backbone(x)[0].astype(jnp.float32)
+
     def __call__(self, image, rois, masks, valid) -> Dict[str, jax.Array]:
         x = image.astype(self.compute_dtype)[None]  # (1, H, W, 3)
         feat = self.backbone(x)[0]  # (h, w, C)

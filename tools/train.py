@@ -36,6 +36,8 @@ def parse_args():
                         help="total images per step across devices")
     parser.add_argument("--iter_size", type=int, default=4)
     parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("-o", "--optimizer", default=None,
+                        help="override SOLVER.TYPE (SGD | Adam)")
     parser.add_argument("--max_iter", type=int, default=None)
     parser.add_argument("--disp_interval", type=int, default=20)
     parser.add_argument("--output_dir", default=None)
@@ -99,6 +101,8 @@ def main():
         batch_size, args.iter_size, old_lr, cfg.SOLVER.BASE_LR,
         cfg.SOLVER.MAX_ITER, cfg.SOLVER.STEPS,
     )
+    if args.optimizer is not None:
+        cfg.SOLVER.TYPE = args.optimizer
     if args.lr is not None:
         cfg.SOLVER.BASE_LR = args.lr
     if args.max_iter is not None:
