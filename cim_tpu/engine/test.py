@@ -45,13 +45,14 @@ class Evaluator:
         enable_persistent_cache()
         self.cfg = cfg
         self.model = model
-        self.variables = variables
+        # device-resident variables passed as a jit ARGUMENT: closing over
+        # the param tree embeds ~1GB of literal weights into the MLIR and
+        # stalls/crashes the remote AOT compiler
+        self.variables = jax.device_put(variables)
         self._apply = jax.jit(self._forward)
 
-    def _forward(self, image, rois, masks, valid):
-        out = self.model.apply(
-            self.variables, image, rois, masks, valid
-        )
+    def _forward(self, variables, image, rois, masks, valid):
+        out = self.model.apply(variables, image, rois, masks, valid)
         # refine_score[k] = (cls_k * iou_k)[:, 1:]; mean over K branches
         scores = out["refine_cls"] * out["refine_iou"]  # (K, N, C+1)
         return jnp.mean(scores[:, :, 1:], axis=0)  # (N, C)
@@ -82,8 +83,8 @@ class Evaluator:
         n = boxes.shape[0]
         im_p, rois_p, masks_p, valid = self._pad_to_bucket(im_prep, rois, masks)
         scores = self._apply(
-            jnp.asarray(im_p), jnp.asarray(rois_p), jnp.asarray(masks_p),
-            jnp.asarray(valid),
+            self.variables, jnp.asarray(im_p), jnp.asarray(rois_p),
+            jnp.asarray(masks_p), jnp.asarray(valid),
         )
         return np.asarray(scores)[:n], boxes
 
