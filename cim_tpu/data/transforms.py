@@ -61,6 +61,16 @@ def aspect_ratio_rel(im, aspect_ratio: float):
     )
 
 
+def prep_image_uint8_rgb(im, scale):
+    """Host half of the "ToTensor" transform: resize + BGR->RGB, staying
+    uint8. The /255 + mean/std normalization runs on device
+    (cim_tpu.engine.test.Evaluator._forward) — 4x less host->device
+    transfer and no single-core float math per TTA pass."""
+    interp = cv2.INTER_LINEAR if _HAVE_CV2 else None
+    im_r = np.uint8(_resize(im, scale, interp)) if scale != 1.0 else im
+    return np.ascontiguousarray(im_r[:, :, ::-1])
+
+
 def prep_image(im, scale, mode: str, pixel_means=None):
     """im: (H, W, 3) uint8 BGR -> resized float32 (h, w, 3)."""
     interp = cv2.INTER_LINEAR if _HAVE_CV2 else None

@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cim_tpu.data.transforms import prep_image, scale_for_target
+from cim_tpu.data.transforms import (
+    prep_image,
+    prep_image_uint8_rgb,
+    scale_for_target,
+)
 from cim_tpu.ops.boxes import flip_boxes
 
 PAD_MULTIPLE = 128
@@ -51,7 +55,23 @@ class Evaluator:
         self.variables = jax.device_put(variables)
         self._apply = jax.jit(self._forward)
 
-    def _forward(self, variables, image, rois, masks, valid):
+    def _forward(self, variables, image, rois, masks, valid, im_h, im_w):
+        if image.dtype == jnp.uint8:
+            # device-side "ToTensor" normalization: the host ships the
+            # resized uint8 RGB image (4x less transfer, no single-core
+            # float math per TTA pass). Padding must stay exactly zero in
+            # normalized space (conv zero-padding equivalence), so mask by
+            # the true image extent.
+            from cim_tpu.data.transforms import TORCH_MEAN, TORCH_STD
+
+            image = (
+                image.astype(jnp.float32) / 255.0 - jnp.asarray(TORCH_MEAN)
+            ) / jnp.asarray(TORCH_STD)
+            hp, wp = image.shape[:2]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+            inside = (rows < im_h) & (cols < im_w)
+            image = jnp.where(inside[..., None], image, 0.0)
         out = self.model.apply(variables, image, rois, masks, valid)
         # refine_score[k] = (cls_k * iou_k)[:, 1:]; mean over K branches
         scores = out["refine_cls"] * out["refine_iou"]  # (K, N, C+1)
@@ -63,7 +83,7 @@ class Evaluator:
         n_pad = max(256, _round_up(n, 256))
         h, w = im.shape[:2]
         hp, wp = _round_up(h, PAD_MULTIPLE), _round_up(w, PAD_MULTIPLE)
-        im_p = np.zeros((hp, wp, 3), np.float32)
+        im_p = np.zeros((hp, wp, 3), im.dtype)
         im_p[:h, :w] = im
         boxes_p = np.zeros((n_pad, 4), np.float32)
         boxes_p[:n] = boxes
@@ -78,13 +98,18 @@ class Evaluator:
         Returns (scores (N, C), boxes)."""
         cfg = self.cfg
         im_scale = scale_for_target(im.shape[:2], target_scale, target_max_size)
-        im_prep = prep_image(im, im_scale, cfg.transform_mode, cfg.PIXEL_MEANS)
+        if cfg.transform_mode == "ToTensor":
+            # resize on host (uint8, cheap), normalize on device
+            im_prep = prep_image_uint8_rgb(im, im_scale)
+        else:
+            im_prep = prep_image(im, im_scale, cfg.transform_mode, cfg.PIXEL_MEANS)
         rois = boxes.astype(np.float32) * im_scale
         n = boxes.shape[0]
         im_p, rois_p, masks_p, valid = self._pad_to_bucket(im_prep, rois, masks)
         scores = self._apply(
             self.variables, jnp.asarray(im_p), jnp.asarray(rois_p),
             jnp.asarray(masks_p), jnp.asarray(valid),
+            im_prep.shape[0], im_prep.shape[1],
         )
         return np.asarray(scores)[:n], boxes
 
