@@ -48,3 +48,20 @@ def resolve(cfg, name: str) -> dict:
 
 def register_dataset(name: str, spec: dict):
     DATASETS[name] = dict(spec)
+
+
+def _load_registry_from_env():
+    """Extra datasets from a JSON file named by CIM_TPU_DATASET_REGISTRY:
+    {name: {image_directory, annotation_file[, devkit_dir]}}. Lets the
+    CLIs consume custom datasets without code changes."""
+    path = os.environ.get("CIM_TPU_DATASET_REGISTRY")
+    if not path:
+        return
+    import json
+
+    with open(path) as f:
+        for name, spec in json.load(f).items():
+            register_dataset(name, spec)
+
+
+_load_registry_from_env()

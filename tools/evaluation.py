@@ -35,6 +35,7 @@ SEG_IOU_THRS = (0.25, 0.5, 0.7, 0.75)
 def parse_args():
     parser = argparse.ArgumentParser(description="Instance-seg evaluation")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--set", dest="set_cfgs", nargs="+", default=None)
     parser.add_argument("--result_path", required=True,
                         help="detections.pkl from test_net.py")
     parser.add_argument("--dataset", default="voc2012sbdval")
@@ -167,6 +168,10 @@ def main():
 
     cfg = get_default_cfg()
     cfg_from_file(cfg, args.cfg_file)
+    if args.set_cfgs:
+        from cim_tpu.config import cfg_from_list
+
+        cfg_from_list(cfg, args.set_cfgs)
     if args.dataset == "voc2012sbdval":
         cfg.TEST.DATASETS = ("voc_2012_sbdval",)
         cfg.MODEL.NUM_CLASSES = 20
