@@ -178,6 +178,7 @@ def get_default_cfg() -> AttrDict:
     c.EXPECTED_RESULTS = []
     c.EXPECTED_RESULTS_RTOL = 0.1
     c.EXPECTED_RESULTS_ATOL = 0.005
+    c.EXPECTED_RESULTS_EMAIL = ""
     c.DEBUG = False
 
     c.MaskAlign = True

@@ -164,5 +164,13 @@ def run_inference(
             atol=cfg.EXPECTED_RESULTS_ATOL,
             rtol=cfg.EXPECTED_RESULTS_RTOL,
         )
+        if failures and cfg.EXPECTED_RESULTS_EMAIL:
+            # reference lib/utils/logging.py:86-92 (email on regression)
+            from cim_tpu.engine.stats import send_failure_email
+
+            send_failure_email(
+                "CIM expected-results regression", "\n".join(failures),
+                cfg.EXPECTED_RESULTS_EMAIL,
+            )
         assert not failures, failures
     return results, all_boxes, all_scores

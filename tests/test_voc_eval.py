@@ -70,3 +70,19 @@ def test_corloc():
     assert corloc == 0.5
     # dog present only in img1; no dog detections -> 0
     assert dis_eval_boxes([], _annotations(), IMAGES, "dog") == 0.0
+
+
+def test_check_expected_results_gate():
+    from cim_tpu.evaluation.task_evaluation import check_expected_results
+
+    results = {"AP": {"mean": 0.51}}
+    ok = check_expected_results(
+        results, [["voc_2012_sbdval", "AP", "mean", 0.511]],
+        atol=0.005, rtol=0.0,
+    )
+    assert ok == []
+    bad = check_expected_results(
+        results, [["voc_2012_sbdval", "AP", "mean", 0.60]],
+        atol=0.005, rtol=0.0,
+    )
+    assert len(bad) == 1 and bad[0].startswith("FAIL")

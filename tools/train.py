@@ -155,9 +155,18 @@ def main():
 
     trainer = Trainer(cfg, jax.random.PRNGKey(args.seed), sample_batch=sample)
 
+    # timestamped run dir (reference lib/utils/misc.py get_run_name
+    # -> Outputs/<cfg>/<MonDD-HH-MM-SS_host>_step)
+    import socket
+    import time as _time
+
+    run_name = "%s_%s_step" % (
+        _time.strftime("%b%d-%H-%M-%S"), socket.gethostname()
+    )
     output_dir = args.output_dir or os.path.join(
         cfg.OUTPUT_DIR,
         os.path.splitext(os.path.basename(args.cfg_file))[0],
+        run_name,
     )
     ckpt_dir = os.path.join(output_dir, "ckpt")
 
