@@ -19,7 +19,7 @@ most len(scales)+1 compiled programs that are reused across the dataset.
 """
 from __future__ import annotations
 
-import functools
+
 import math
 
 import jax

@@ -21,7 +21,7 @@ import os
 import pickle
 from collections import defaultdict
 
-import numpy as np
+
 
 from cim_tpu.data.json_dataset import JsonDataset
 from cim_tpu.engine.stats import Timer

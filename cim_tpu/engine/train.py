@@ -18,13 +18,13 @@ mynn.DataParallel, lib/nn/parallel/data_parallel.py):
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cim_tpu.engine.optimizer import build_masks, lr_schedule, make_optimizer
 from cim_tpu.mining.cim import MiningParams, cim_layer

@@ -7,7 +7,7 @@ passed in memory instead of the reference's per-class results files.
 """
 from __future__ import annotations
 
-import os
+
 import xml.etree.ElementTree as ET
 
 import numpy as np

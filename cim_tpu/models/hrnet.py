@@ -17,7 +17,7 @@ branch channels (48, 96, 192, 384), BASIC blocks, modules (1, 4, 3).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ cotangents — all peaks of an image in a single compiled call.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax
