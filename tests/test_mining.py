@@ -183,3 +183,18 @@ def test_anti_noise_resample_properties(rng):
             top = members[np.argmax(gw[members])]
             survived += bool(m[top])
     assert survived > 0.5 * trials  # loose sanity: top member usually kept
+
+
+def test_cim_mine_coco_label_space(rng):
+    """C=80 (COCO) path matches the oracle too (heads.py asserts 20/80)."""
+    cls, det, labels, iou, asy = _make_instance(rng, n=40, c=80, n_labels=5)
+    params = MiningParams()
+    want_lab, want_w, want_idx, want_flag = oracle_cim.cim_label(
+        cls, det, labels, iou, asy, params.p_seed, params.nms_thr, params.con_thr
+    )
+    got = cim_mine(
+        jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+        jnp.asarray(iou), jnp.asarray(asy), jnp.ones(40, bool), params,
+    )
+    np.testing.assert_allclose(np.asarray(got.gt_labels), want_lab, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.gt_mask), want_idx)

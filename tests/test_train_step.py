@@ -128,3 +128,22 @@ def test_dp_grads_match_single_device():
     a = np.asarray(jax.tree.leaves(t1.state.params["cls_iou"])[0])
     b = np.asarray(jax.tree.leaves(t4.state.params["cls_iou"])[0])
     assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+@pytest.mark.slow
+def test_train_step_vgg_backbone():
+    """One DP train step with the dilated VGG-16 backbone (grad path)."""
+    cfg = small_cfg()
+    cfg.MODEL.CONV_BODY = "vgg16.dilated_conv5_body"
+    cfg.TPU.DATA_PARALLEL = 1
+    cfg.TPU.PROPOSAL_PAD = 24
+    rng = np.random.RandomState(0)
+    kw = dict(image_hw=(48, 48), n_props=24, n_valid=20)
+    sample = make_microbatch(rng, **kw)
+    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+    batch = make_train_batch(rng, 1, cfg.TPU.GRAD_ACCUM, **kw)
+    m = trainer.step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
+    # FREEZE_AT=2: conv1/conv2 frozen, conv5 trains
+    p = trainer.state.params["conv_body"]
+    assert "conv1_0" in p and "conv5_2" in p
