@@ -109,6 +109,9 @@ def build_microbatch(cfg, entry, im_scale, bucket_hw, rng, image=None):
 
     return {
         "image": im_p,
+        # true extent inside the zero-padded bucket: drives valid-extent
+        # masking in the model (cim_tpu.models.layers.mask_valid_hw)
+        "image_hw": np.array([im.shape[0], im.shape[1]], np.int32),
         "rois": rois,
         "masks": masks,
         "valid": valid,

@@ -126,6 +126,7 @@ def make_microbatch(
 
     return {
         "image": image,
+        "image_hw": np.array([h, w], np.int32),
         "rois": padrows(boxes.astype(np.float32)),
         "masks": padrows(masks7).astype(np.float32),
         "valid": valid,

@@ -72,7 +72,11 @@ class Evaluator:
             cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
             inside = (rows < im_h) & (cols < im_w)
             image = jnp.where(inside[..., None], image, 0.0)
-        out = self.model.apply(variables, image, rois, masks, valid)
+        # im_hw threads valid-extent masking through the backbone +
+        # RoIAlign border logic: padded-bucket scores == unpadded scores
+        out = self.model.apply(
+            variables, image, rois, masks, valid, im_hw=(im_h, im_w)
+        )
         # refine_score[k] = (cls_k * iou_k)[:, 1:]; mean over K branches
         scores = out["refine_cls"] * out["refine_iou"]  # (K, N, C+1)
         return jnp.mean(scores[:, :, 1:], axis=0)  # (N, C)

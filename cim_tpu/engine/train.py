@@ -109,12 +109,14 @@ def compute_losses(cfg, out, batch, rng) -> Dict[str, jax.Array]:
 
 def make_loss_fn(cfg, model, stats):
     def loss_fn(params, batch, rng):
+        im_hw = batch.get("image_hw")  # (2,) true extent of a padded bucket
         out = model.apply(
             {"params": params, "stats": stats},
             batch["image"],
             batch["rois"],
             batch["masks"],
             batch["valid"],
+            im_hw=None if im_hw is None else (im_hw[0], im_hw[1]),
         )
         losses = compute_losses(cfg, out, batch, rng)
         total = sum(losses.values())

@@ -98,18 +98,23 @@ class CIMModel(nn.Module):
             name="cls_iou",
         )
 
-    def convbody_net(self, image):
+    def convbody_net(self, image, im_hw=None):
         """Conv body only (reference Generalized_RCNN.convbody_net,
         model_builder.py:235-239) — apply with method=CIMModel.convbody_net."""
         x = image.astype(self.compute_dtype)[None]
-        return self.backbone(x)[0].astype(jnp.float32)
+        return self.backbone(x, im_hw)[0].astype(jnp.float32)
 
-    def __call__(self, image, rois, masks, valid) -> Dict[str, jax.Array]:
+    def __call__(self, image, rois, masks, valid, im_hw=None) -> Dict[str, jax.Array]:
+        """im_hw: optional (h, w) true image extent when ``image`` is a
+        zero-padded bucket — threads valid-extent masking through the
+        backbone and RoIAlign so padded and unpadded execution match
+        (see cim_tpu.models.layers.mask_valid_hw)."""
         x = image.astype(self.compute_dtype)[None]  # (1, H, W, 3)
-        feat = self.backbone(x)[0]  # (h, w, C)
+        feat = self.backbone(x, im_hw)[0]  # (h, w, C)
         # RoIAlign + heads in f32 (bilinear weights + softmax stability)
         feat = feat.astype(jnp.float32)
-        seg_x = self.box_head(feat, rois, masks)
+        feat_hw = BACKBONES[self.conv_body].feature_valid_hw(im_hw)
+        seg_x = self.box_head(feat, rois, masks, feat_hw)
         predict_cls, predict_det, refine_cls, refine_iou = self.cls_iou(
             seg_x, valid
         )

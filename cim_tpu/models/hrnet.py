@@ -22,7 +22,11 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cim_tpu.models.layers import FrozenBatchNorm, TorchConv
+from cim_tpu.models.layers import FrozenBatchNorm, TorchConv, mask_valid_hw
+
+
+def _mask_input(x, valid_hw):
+    return mask_valid_hw(x, valid_hw)
 
 
 def _conv_bn(x, features, kernel, stride, pad, dtype, name, relu=True):
@@ -153,6 +157,12 @@ class HRNetW48(nn.Module):
     dim_out: int = 2048
     spatial_scale: float = 1.0 / 32.0
 
+    @staticmethod
+    def feature_valid_hw(im_hw):
+        # no per-conv masking (see __call__ note): the feature pad region
+        # is populated the same way the reference's pad-to-32 run is
+        return None
+
     def _cfg(self):
         if self.stages:
             return self.stages
@@ -169,9 +179,16 @@ class HRNetW48(nn.Module):
         }
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
         cfg = self._cfg()
         n, h, w, _ = x.shape
+        # Zero-pad bleed note: the reference ITSELF zero-pads HRNet input
+        # to 32-multiples (HRNet.py:500-513) and lets the pad region run
+        # through BN/convs, so padded buckets here match the reference's
+        # own padding regime; per-conv valid-extent masking (see
+        # resnet/vgg) is deliberately NOT applied. Only the input image
+        # pad is re-zeroed.
+        x = _mask_input(x, valid_hw)
         # pad to multiples of 32 (reference HRNet.py:500-513)
         hp = (-h) % 32
         wp = (-w) % 32

@@ -175,6 +175,43 @@ def group_norm(num_groups: int = 32, epsilon: float = 1e-5):
     return nn.GroupNorm(num_groups=num_groups, epsilon=epsilon)
 
 
+def mask_valid_hw(x, valid_hw):
+    """Zero all positions at or beyond the valid spatial extent.
+
+    x: (..., H, W, C); valid_hw: None (no-op) or a pair of int scalars
+    (static or traced) giving the valid height/width at x's resolution.
+
+    Why: fixed-shape buckets zero-pad images, and a zero input is NOT a
+    fixed point of conv-with-bias / BatchNorm (BN(0) = beta - mean*gamma/
+    sigma != 0), so garbage grows in the pad region and bleeds one row per
+    spatial conv into the valid region — silently perturbing scores of
+    border proposals vs the reference's unpadded execution. Masking before
+    every spatial (k>1) conv/pool makes the padded forward bit-equal to
+    torch's implicit-zero-padding on the unpadded image.
+    """
+    if valid_hw is None:
+        return x
+    h, w = x.shape[-3], x.shape[-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < valid_hw[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < valid_hw[1]
+    return x * (rows & cols)[..., None].astype(x.dtype)
+
+
+def ceil_div_hw(valid_hw, k: int):
+    """Valid extent after a stride-k op with 'same'-style padding
+    (conv k3 s2 p1, conv k7 s2 p3, maxpool k3 s2 p1): ceil(v / k)."""
+    if valid_hw is None:
+        return None
+    return ((valid_hw[0] + k - 1) // k, (valid_hw[1] + k - 1) // k)
+
+
+def floor_div_hw(valid_hw, k: int):
+    """Valid extent after maxpool k2 s2 p0 (VGG): floor(v / k)."""
+    if valid_hw is None:
+        return None
+    return (valid_hw[0] // k, valid_hw[1] // k)
+
+
 def max_pool_torch(x, window: int, stride: int, padding: int):
     """torch-compatible max pooling (NHWC, explicit symmetric padding)."""
     return nn.max_pool(

@@ -38,8 +38,9 @@ class MaskFuse(nn.Module):
     dim_out: int = 4096
 
     @nn.compact
-    def __call__(self, features, rois, masks):
-        """features: (H, W, C); rois: (N, 4) image coords; masks: (N, 7, 7)."""
+    def __call__(self, features, rois, masks, valid_hw=None):
+        """features: (H, W, C); rois: (N, 4) image coords; masks: (N, 7, 7);
+        valid_hw: optional true feature extent inside a padded bucket."""
         if self.dtype is not None:
             # bf16 RoIAlign: weights stay f32 inside the op; the (N, R, R, C)
             # value tensors (the model's largest) are stored in bf16
@@ -55,6 +56,7 @@ class MaskFuse(nn.Module):
                     self.spatial_scale,
                     self.sampling_ratio,
                     max(self.max_adaptive_grid, 4),
+                    valid_hw=valid_hw,
                 )
             else:
                 box_x = roi_align(
@@ -65,11 +67,12 @@ class MaskFuse(nn.Module):
                     sampling_ratio=self.sampling_ratio,
                     aligned=True,
                     max_adaptive_grid=self.max_adaptive_grid,
+                    valid_hw=valid_hw,
                 )
         elif self.roi_method == "RoIPoolF":
             box_x = roi_pool(
                 features, rois, output_size=self.roi_size,
-                spatial_scale=self.spatial_scale,
+                spatial_scale=self.spatial_scale, valid_hw=valid_hw,
             )
         else:
             raise ValueError(f"Unknown pooling method: {self.roi_method}")

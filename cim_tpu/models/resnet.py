@@ -17,7 +17,13 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 
-from cim_tpu.models.layers import FrozenBatchNorm, TorchConv, max_pool_torch
+from cim_tpu.models.layers import (
+    FrozenBatchNorm,
+    TorchConv,
+    ceil_div_hw,
+    mask_valid_hw,
+    max_pool_torch,
+)
 
 
 class Bottleneck(nn.Module):
@@ -27,10 +33,13 @@ class Bottleneck(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
         out = TorchConv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
+        # conv2 is the only spatial (3x3) conv: zero the pad region the
+        # preceding BN re-polluted (see layers.mask_valid_hw)
+        out = mask_valid_hw(out, valid_hw)
         out = TorchConv(
             self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
             use_bias=False, dtype=self.dtype, name="conv2",
@@ -58,13 +67,17 @@ class ResNetStage(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
         x = Bottleneck(
             self.planes, stride=self.stride, downsample=True, dtype=self.dtype,
             name="block0",
-        )(x)
+        )(x, valid_hw)
+        if self.stride != 1:
+            valid_hw = ceil_div_hw(valid_hw, self.stride)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, dtype=self.dtype, name=f"block{i}")(x)
+            x = Bottleneck(self.planes, dtype=self.dtype, name=f"block{i}")(
+                x, valid_hw
+            )
         return x
 
 
@@ -78,24 +91,43 @@ class ResNet50C4(nn.Module):
     spatial_scale: float = 1.0 / 16.0
 
     @nn.compact
-    def __call__(self, x):
-        # res1: 7x7/2 + maxpool 3x3/2
+    def __call__(self, x, valid_hw=None):
+        # res1: 7x7/2 + maxpool 3x3/2 (image pad is exact zeros -> the
+        # bias-free conv needs no input mask; BN output does, before pool)
         x = TorchConv(
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             dtype=self.dtype, name="res1_conv",
         )(x)
         x = FrozenBatchNorm(64, name="res1_bn")(x)
         x = nn.relu(x)
+        valid_hw = ceil_div_hw(valid_hw, 2)
+        x = mask_valid_hw(x, valid_hw)
         x = max_pool_torch(x, 3, 2, 1)
+        valid_hw = ceil_div_hw(valid_hw, 2)
         # res2..res4 (+ optional res5 for the full classification trunk)
-        x = ResNetStage(64, self.block_counts[0], 1, dtype=self.dtype, name="res2")(x)
-        x = ResNetStage(128, self.block_counts[1], 2, dtype=self.dtype, name="res3")(x)
-        x = ResNetStage(256, self.block_counts[2], 2, dtype=self.dtype, name="res4")(x)
+        x = ResNetStage(64, self.block_counts[0], 1, dtype=self.dtype, name="res2")(x, valid_hw)
+        x = ResNetStage(128, self.block_counts[1], 2, dtype=self.dtype, name="res3")(x, valid_hw)
+        valid_hw = ceil_div_hw(valid_hw, 2)
+        x = ResNetStage(256, self.block_counts[2], 2, dtype=self.dtype, name="res4")(x, valid_hw)
+        valid_hw = ceil_div_hw(valid_hw, 2)
         if len(self.block_counts) > 3:
             x = ResNetStage(
                 512, self.block_counts[3], 2, dtype=self.dtype, name="res5"
-            )(x)
-        return x
+            )(x, valid_hw)
+            valid_hw = ceil_div_hw(valid_hw, 2)
+        # final mask: downstream RoIAlign reads only clean zeros in the pad
+        return mask_valid_hw(x, valid_hw)
+
+    @staticmethod
+    def feature_valid_hw(im_hw):
+        """Valid feature extent for an (h, w) image: ceil(v/2) per stride-2
+        stage (conv7 s2 p3 and maxpool3 s2 p1 both give ceil)."""
+        if im_hw is None:
+            return None
+        return (
+            (im_hw[0] + 15) // 16,
+            (im_hw[1] + 15) // 16,
+        )
 
 
 def frozen_param_paths(freeze_at: int):

@@ -12,7 +12,12 @@ from typing import Any
 
 import flax.linen as nn
 
-from cim_tpu.models.layers import TorchConv, max_pool_torch
+from cim_tpu.models.layers import (
+    TorchConv,
+    floor_div_hw,
+    mask_valid_hw,
+    max_pool_torch,
+)
 
 
 class DilatedVGG16(nn.Module):
@@ -22,7 +27,7 @@ class DilatedVGG16(nn.Module):
     spatial_scale: float = 1.0 / 8.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_hw=None):
         cfg_chans = {
             "conv1": (64, 64),
             "conv2": (128, 128),
@@ -34,14 +39,26 @@ class DilatedVGG16(nn.Module):
             dilation = 2 if group == "conv5" else 1
             pad = 2 if group == "conv5" else 1
             for j, ch in enumerate(chans):
+                # every conv has a bias -> the zero-pad region drifts;
+                # re-zero it before each spatial conv (layers.mask_valid_hw)
+                x = mask_valid_hw(x, valid_hw)
                 x = TorchConv(
                     ch, (3, 3), padding=pad, dilation=dilation,
                     dtype=self.dtype, name=f"{group}_{j}",
                 )(x)
                 x = nn.relu(x)
             if group in ("conv1", "conv2", "conv3"):
+                x = mask_valid_hw(x, valid_hw)
                 x = max_pool_torch(x, 2, 2, 0)
-        return x
+                # maxpool k2 s2 p0 drops a trailing odd row: floor(v/2)
+                valid_hw = floor_div_hw(valid_hw, 2)
+        return mask_valid_hw(x, valid_hw)
+
+    @staticmethod
+    def feature_valid_hw(im_hw):
+        if im_hw is None:
+            return None
+        return (im_hw[0] // 8, im_hw[1] // 8)
 
 
 def frozen_param_paths(freeze_at: int):

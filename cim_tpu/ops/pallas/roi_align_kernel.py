@@ -43,9 +43,12 @@ def _sep_weight(bin_f, pos_f, lo, size, r, grid_cap, length, sampling_ratio):
     """Separable axis weight, elementwise over (bin, pos) index arrays.
 
     bin_f/pos_f: f32 arrays (same shape) of bin index in [0, r) and
-    feature coordinate in [0, length); lo/size: scalars. Returns the
-    summed bilinear weight of the ROI's adaptive sample grid, divided by
-    the per-axis sample count."""
+    feature coordinate in [0, length); lo/size: scalars; length: the
+    *valid* feature extent — a static int or a dynamic f32 scalar (SMEM)
+    when the feature map is a zero-padded bucket. Returns the summed
+    bilinear weight of the ROI's adaptive sample grid, divided by the
+    per-axis sample count."""
+    length = jnp.float32(length)
     bin_sz = size / r
     if sampling_ratio > 0:
         g = jnp.float32(sampling_ratio)
@@ -56,7 +59,7 @@ def _sep_weight(bin_f, pos_f, lo, size, r, grid_cap, length, sampling_ratio):
     acc = jnp.zeros_like(bin_f)
     for s in range(grid_cap):
         coord = start + (s + 0.5) * bin_sz * inv_g
-        ok = (coord >= -1.0) & (coord <= float(length)) & (s < g)
+        ok = (coord >= -1.0) & (coord <= length) & (s < g)
         c = jnp.maximum(coord, 0.0)
         low = jnp.floor(c)
         at_edge = low >= length - 1
@@ -78,7 +81,7 @@ def _roi_scalars(rois_smem, idx, spatial_scale):
 
 
 def _build_m(rois_smem, nb, block_n, m_ref, *, r, spatial_scale,
-             sampling_ratio, grid_cap, height, width):
+             sampling_ratio, grid_cap, height, width, bounds_off):
     """Fill m_ref (BN*R^2, H*W) with the stacked Kronecker weights.
 
     kron(Ay, Ax) is expanded with 0/1 replication matmuls instead of
@@ -115,12 +118,15 @@ def _build_m(rois_smem, nb, block_n, m_ref, *, r, spatial_scale,
     j_hw2 = jax.lax.broadcasted_iota(jnp.int32, (width, hw), 1)
     rep_w = (i_w == (j_hw2 % width)).astype(jnp.float32)  # S2 (W, H*W)
 
+    # dynamic valid extent of a zero-padded bucket (trailing SMEM scalars)
+    vh = rois_smem[bounds_off]
+    vw = rois_smem[bounds_off + 1]
     for b in range(block_n):
         x1, y1, x2, y2 = _roi_scalars(rois_smem, nb * block_n + b,
                                       spatial_scale)
-        ay = _sep_weight(ybins, hpos, y1, y2 - y1, r, grid_cap, height,
+        ay = _sep_weight(ybins, hpos, y1, y2 - y1, r, grid_cap, vh,
                          sampling_ratio)  # (R, H)
-        ax = _sep_weight(xbins, wpos, x1, x2 - x1, r, grid_cap, width,
+        ax = _sep_weight(xbins, wpos, x1, x2 - x1, r, grid_cap, vw,
                          sampling_ratio)  # (R, W)
         p1 = jnp.dot(
             rep_y, jnp.dot(ay, rep_h, preferred_element_type=jnp.float32),
@@ -134,12 +140,13 @@ def _build_m(rois_smem, nb, block_n, m_ref, *, r, spatial_scale,
 
 
 def _fwd_kernel(rois_smem, f3_ref, out_ref, m_s, *, r, spatial_scale,
-                sampling_ratio, grid_cap, height, width, block_n):
+                sampling_ratio, grid_cap, height, width, block_n,
+                bounds_off):
     nb = pl.program_id(1)
     bc = f3_ref.shape[1]
     _build_m(rois_smem, nb, block_n, m_s, r=r, spatial_scale=spatial_scale,
              sampling_ratio=sampling_ratio, grid_cap=grid_cap,
-             height=height, width=width)
+             height=height, width=width, bounds_off=bounds_off)
     # matmul operand precision follows the feature dtype: bf16 features
     # (the model's compute dtype) get single-pass MXU; f32 keeps full
     # precision for parity tests
@@ -151,13 +158,14 @@ def _fwd_kernel(rois_smem, f3_ref, out_ref, m_s, *, r, spatial_scale,
 
 
 def _bwd_kernel(rois_smem, g_ref, df3_ref, m_s, *, r, spatial_scale,
-                sampling_ratio, grid_cap, height, width, block_n):
+                sampling_ratio, grid_cap, height, width, block_n,
+                bounds_off):
     nb = pl.program_id(1)
     bc = g_ref.shape[3]
     r2 = r * r
     _build_m(rois_smem, nb, block_n, m_s, r=r, spatial_scale=spatial_scale,
              sampling_ratio=sampling_ratio, grid_cap=grid_cap,
-             height=height, width=width)
+             height=height, width=width, bounds_off=bounds_off)
 
     @pl.when(nb == 0)
     def _():
@@ -198,10 +206,6 @@ def _pick_blocks(height, width, channels, r, block_n, block_c):
     return bn, max(bc, 1)
 
 
-@functools.partial(
-    jax.custom_vjp,
-    nondiff_argnums=(2, 3, 4, 5, 6, 7),
-)
 def roi_align_pallas(
     features,
     rois,
@@ -211,11 +215,37 @@ def roi_align_pallas(
     max_adaptive_grid: int = 4,
     block_n: int = 8,
     block_c: int = 512,
+    valid_hw=None,
 ):
-    """Pallas RoIAlign: features (H, W, C) + rois (N, 4) -> (N, R, R, C)."""
+    """Pallas RoIAlign: features (H, W, C) + rois (N, 4) -> (N, R, R, C).
+
+    valid_hw: optional (h, w) true feature extent inside a zero-padded
+    bucket (static or traced scalars); border snapping then follows the
+    valid boundary. Rides to the kernel as two trailing SMEM scalars.
+    """
+    height, width = features.shape[:2]
+    if valid_hw is None:
+        valid_hw = (height, width)
+    valid_arr = jnp.stack(
+        [jnp.float32(valid_hw[0]), jnp.float32(valid_hw[1])]
+    )
+    return _roi_align_pallas_vjp(
+        features, rois, valid_arr, output_size, spatial_scale,
+        sampling_ratio, max_adaptive_grid, block_n, block_c,
+    )
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(3, 4, 5, 6, 7, 8),
+)
+def _roi_align_pallas_vjp(
+    features, rois, valid_arr, output_size, spatial_scale, sampling_ratio,
+    max_adaptive_grid, block_n, block_c,
+):
     return _forward(
-        features, rois, output_size, spatial_scale, sampling_ratio,
-        max_adaptive_grid, block_n, block_c,
+        features, rois, valid_arr, output_size, spatial_scale,
+        sampling_ratio, max_adaptive_grid, block_n, block_c,
     )
 
 
@@ -227,8 +257,8 @@ def _common(features, rois, r, block_n, block_c):
     return height, width, channels, block_n, bc, rois_p, n, f3
 
 
-def _forward(features, rois, r, spatial_scale, sampling_ratio, grid_cap,
-             block_n, block_c):
+def _forward(features, rois, valid_arr, r, spatial_scale, sampling_ratio,
+             grid_cap, block_n, block_c):
     height, width, channels, block_n, bc, rois_p, n, f3 = _common(
         features, rois, r, block_n, block_c
     )
@@ -240,6 +270,7 @@ def _forward(features, rois, r, spatial_scale, sampling_ratio, grid_cap,
         _fwd_kernel, r=r, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, grid_cap=grid_cap,
         height=height, width=width, block_n=block_n,
+        bounds_off=n_pad * 4,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -269,22 +300,22 @@ def _forward(features, rois, r, spatial_scale, sampling_ratio, grid_cap,
             ),
             transcendentals=0,
         ),
-    )(rois_p.reshape(-1), f3)
+    )(jnp.concatenate([rois_p.reshape(-1), valid_arr]), f3)
     return out[:n]
 
 
-def _fwd_rule(features, rois, r, spatial_scale, sampling_ratio, grid_cap,
-              block_n, block_c):
+def _fwd_rule(features, rois, valid_arr, r, spatial_scale, sampling_ratio,
+              grid_cap, block_n, block_c):
     out = _forward(
-        features, rois, r, spatial_scale, sampling_ratio, grid_cap,
-        block_n, block_c,
+        features, rois, valid_arr, r, spatial_scale, sampling_ratio,
+        grid_cap, block_n, block_c,
     )
-    return out, (features, rois)
+    return out, (features, rois, valid_arr)
 
 
 def _bwd_rule(r, spatial_scale, sampling_ratio, grid_cap, block_n, block_c,
               res, g):
-    features, rois = res
+    features, rois, valid_arr = res
     height, width, channels, block_n, bc, rois_p, n, _ = _common(
         features, rois, r, block_n, block_c
     )
@@ -297,6 +328,7 @@ def _bwd_rule(r, spatial_scale, sampling_ratio, grid_cap, block_n, block_c,
         _bwd_kernel, r=r, spatial_scale=spatial_scale,
         sampling_ratio=sampling_ratio, grid_cap=grid_cap,
         height=height, width=width, block_n=block_n,
+        bounds_off=n_pad * 4,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -319,8 +351,12 @@ def _bwd_rule(r, spatial_scale, sampling_ratio, grid_cap, block_n, block_c,
         out_shape=jax.ShapeDtypeStruct(
             (height * width, channels), features.dtype
         ),
-    )(rois_p.reshape(-1), g_p)
-    return df3.reshape(height, width, channels), jnp.zeros_like(rois)
+    )(jnp.concatenate([rois_p.reshape(-1), valid_arr]), g_p)
+    return (
+        df3.reshape(height, width, channels),
+        jnp.zeros_like(rois),
+        jnp.zeros_like(valid_arr),
+    )
 
 
-roi_align_pallas.defvjp(_fwd_rule, _bwd_rule)
+_roi_align_pallas_vjp.defvjp(_fwd_rule, _bwd_rule)

@@ -31,12 +31,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_weights(y, x, height, width):
+def _bilinear_weights(y, x, height, width, row_stride=None):
     """mmcv/Caffe2 bilinear_interpolate index+weight computation.
 
-    Returns (idx_ll, idx_lh, idx_hl, idx_hh) flat indices into (H*W) and
-    (w1, w2, w3, w4) weights, zeroed for out-of-bounds samples.
+    height/width bound the *valid* feature extent (static ints or traced
+    scalars — a zero-padded bucket's true extent); ``row_stride`` is the
+    storage width used for flat indexing (defaults to ``width``).
+
+    Returns (idx_ll, idx_lh, idx_hl, idx_hh) flat indices into
+    (H*row_stride) and (w1, w2, w3, w4) weights, zeroed for out-of-bounds
+    samples.
     """
+    if row_stride is None:
+        row_stride = width
     out_of_range = (y < -1.0) | (y > height) | (x < -1.0) | (x > width)
     y = jnp.clip(y, 0.0)
     x = jnp.clip(x, 0.0)
@@ -64,10 +71,10 @@ def _bilinear_weights(y, x, height, width):
         jnp.where(out_of_range, zero, w)
         for w in (w1, w2, w3, w4)
     )
-    idx_ll = y_low * width + x_low
-    idx_lh = y_low * width + x_high
-    idx_hl = y_high * width + x_low
-    idx_hh = y_high * width + x_high
+    idx_ll = y_low * row_stride + x_low
+    idx_lh = y_low * row_stride + x_high
+    idx_hl = y_high * row_stride + x_low
+    idx_hh = y_high * row_stride + x_high
     return (idx_ll, idx_lh, idx_hl, idx_hh), (w1, w2, w3, w4)
 
 
@@ -89,6 +96,7 @@ def roi_align(
     sampling_ratio: int = 0,
     aligned: bool = True,
     max_adaptive_grid: int = 2,
+    valid_hw=None,
 ):
     """RoIAlign.
 
@@ -100,11 +108,15 @@ def roi_align(
       sampling_ratio: samples per bin per axis; 0 = adaptive ceil(bin) capped
         at max_adaptive_grid (see module docstring).
       aligned: half-pixel offset (mmcv default True).
+      valid_hw: optional (h, w) valid feature extent inside a zero-padded
+        bucket (traced scalars OK); border clamping/snapping then follows
+        the *valid* boundary, matching the reference's unpadded execution.
 
     Returns:
       (N, R, R, C) pooled features.
     """
     height, width, channels = features.shape
+    vh, vw = (height, width) if valid_hw is None else valid_hw
     n = rois.shape[0]
     r = output_size
     # values accumulate in the feature dtype (bf16 halves the dominant
@@ -158,7 +170,7 @@ def roi_align(
             # broadcast to (N, R, R): y over rows, x over cols
             yy = jnp.broadcast_to(y[:, :, None], (n, r, r))
             xx = jnp.broadcast_to(x[:, None, :], (n, r, r))
-            idxs, ws = _bilinear_weights(yy, xx, height, width)
+            idxs, ws = _bilinear_weights(yy, xx, vh, vw, row_stride=width)
             sample_valid = (y_valid & x_valid)[:, None, None]
             val = jnp.zeros((n, r, r, channels), dtype=dtype)
             for idx, w in zip(idxs, ws):
@@ -180,6 +192,7 @@ def roi_pool(
     output_size: int = 7,
     spatial_scale: float = 1.0 / 16.0,
     max_bin_cells: int = 8,
+    valid_hw=None,
 ):
     """RoIPool (max pooling over quantized bins).
 
@@ -193,6 +206,7 @@ def roi_pool(
     Args / returns like :func:`roi_align`.
     """
     height, width, channels = features.shape
+    vh, vw = (height, width) if valid_hw is None else valid_hw
     n = rois.shape[0]
     r = output_size
     dtype = features.dtype
@@ -213,10 +227,10 @@ def roi_pool(
     hend = jnp.ceil((bins[None, :] + 1.0) * bin_h[:, None]) + y1[:, None]
     wstart = jnp.floor(bins[None, :] * bin_w[:, None]) + x1[:, None]
     wend = jnp.ceil((bins[None, :] + 1.0) * bin_w[:, None]) + x1[:, None]
-    hstart = jnp.clip(hstart, 0, height)
-    hend = jnp.clip(hend, 0, height)
-    wstart = jnp.clip(wstart, 0, width)
-    wend = jnp.clip(wend, 0, width)
+    hstart = jnp.clip(hstart, 0, vh)
+    hend = jnp.clip(hend, 0, vh)
+    wstart = jnp.clip(wstart, 0, vw)
+    wend = jnp.clip(wend, 0, vw)
 
     neg = jnp.asarray(-jnp.inf, dtype)
     out = jnp.full((n, r, r, channels), neg, dtype=dtype)

@@ -1,0 +1,153 @@
+"""Full-pipeline numeric parity: cim_tpu vs a torch oracle of the reference.
+
+One shared random weight set (exported as a reference-naming state_dict,
+converted with utils.torch_weights.convert_reference_checkpoint) drives
+both a torch transliteration of Generalized_RCNN.forward + losses
+(tests/oracle_model.py; reference lib/modeling/model_builder.py:117-207)
+and the assembled cim_tpu chain (CIMModel.apply + engine.train
+compute_losses). If any link drifts — layout, RoIAlign scaling, head
+wiring, masking/padding, mining, loss assembly — these tests fail.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from cim_tpu.config import clone_cfg, get_default_cfg
+from cim_tpu.data.synthetic import make_microbatch
+from cim_tpu.engine.train import compute_losses
+from cim_tpu.models.builder import build_model
+from cim_tpu.utils.torch_weights import convert_reference_checkpoint
+from tests.oracle_model import TorchCIMOracle, oracle_loss_assembly, randomize_bn_stats
+
+N_VALID = 28
+N_PAD = 32
+IMAGE_HW = (96, 128)
+
+
+def _cfg():
+    cfg = clone_cfg(get_default_cfg())
+    cfg.MODEL.NUM_CLASSES = 20
+    cfg.REFINE_TIMES = 3
+    cfg.p_seed = 0.4  # mine a handful of seeds from N=28 proposals
+    cfg.step_rate = 0.05
+    cfg.adj_thr = 0.85
+    cfg.Anti_noise_sampling = False  # stochastic path off for bit-parity
+    cfg.TPU.PRECISION = "f32"
+    cfg.TPU.PROPOSAL_PAD = N_PAD
+    cfg.TPU.MAX_CLUSTERS = 8
+    cfg.TPU.PALLAS_ROI_ALIGN = False
+    cfg.TPU.REMAT_BOX_HEAD = False
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def shared():
+    """Torch oracle model + converted flax variables + one fixture batch."""
+    torch.manual_seed(0)
+    rng = np.random.RandomState(7)
+    oracle = TorchCIMOracle(num_classes=20, refine_times=3)
+    randomize_bn_stats(oracle, rng)
+    variables = convert_reference_checkpoint(
+        oracle.state_dict(), conv_body="resnet50", refine_times=3
+    )
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    # fixture rois stay <= 224px so the adaptive RoIAlign grid (<= cap 2)
+    # reproduces mmcv exactly (ops/roi_align.py docstring)
+    batch = make_microbatch(
+        rng, image_hw=IMAGE_HW, n_props=N_PAD, n_valid=N_VALID,
+        num_classes=20, n_labels=3, mask_grid=64,
+    )
+    return oracle, variables, batch
+
+
+def _torch_forward(oracle, batch):
+    image = torch.from_numpy(np.ascontiguousarray(batch["image"].transpose(2, 0, 1)))
+    rois = torch.from_numpy(batch["rois"][:N_VALID])
+    masks = torch.from_numpy(batch["masks"][:N_VALID])
+    with torch.no_grad():
+        p_cls, p_det, r_cls, r_iou = oracle(image, rois, masks)
+    return (
+        p_cls.numpy(),
+        p_det.numpy(),
+        [r.numpy() for r in r_cls],
+        [r.numpy() for r in r_iou],
+    )
+
+
+def _jax_forward(cfg, variables, batch):
+    model = build_model(cfg)
+    out = jax.jit(model.apply)(
+        variables,
+        batch["image"],
+        batch["rois"],
+        batch["masks"],
+        jnp.asarray(batch["valid"]),
+    )
+    return jax.tree.map(np.asarray, out)
+
+
+def test_head_scores_match_torch_oracle(shared):
+    """data -> backbone -> RoIAlign -> MaskFuse -> heads, both stacks."""
+    oracle, variables, batch = shared
+    p_cls, p_det, r_cls, r_iou = _torch_forward(oracle, batch)
+    out = _jax_forward(_cfg(), variables, batch)
+
+    # valid rows match; tolerance covers fp32 conv-order differences
+    # accumulated through ~40 conv layers + 2 FC-4096
+    np.testing.assert_allclose(
+        out["predict_cls"][:N_VALID], p_cls, rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        out["predict_det"][:N_VALID], p_det, rtol=2e-3, atol=2e-4
+    )
+    for k in range(3):
+        np.testing.assert_allclose(
+            out["refine_cls"][k, :N_VALID], r_cls[k], rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            out["refine_iou"][k, :N_VALID], r_iou[k], rtol=2e-3, atol=2e-4
+        )
+    # padding rows carry no proposal-softmax mass
+    assert out["predict_det"][N_VALID:].max() < 1e-12
+
+
+def test_train_losses_match_torch_oracle(shared):
+    """The full train-step loss vector matches the reference assembly
+    (model_builder.py:161-207) computed by the torch+numpy oracle."""
+    oracle, variables, batch = shared
+    cfg = _cfg()
+
+    p_cls, p_det, r_cls, r_iou = _torch_forward(oracle, batch)
+    want = oracle_loss_assembly(
+        p_cls, p_det, r_cls, r_iou,
+        labels=batch["labels"],
+        mat=np.asarray(batch["mat"][:N_VALID]),
+        iou_map=batch["iou_map"][:N_VALID, :N_VALID].astype(np.float32),
+        asy_iou_map=batch["asy_iou_map"][:N_VALID, :N_VALID].astype(np.float32),
+        p_seed=cfg.p_seed,
+        step_rate=cfg.step_rate,
+        con_thr=cfg.adj_thr,
+    )
+    # the oracle must actually exercise the refinement branches
+    assert want["cls_loss"] != 0.0 and want["bag_loss"] != 0.0
+
+    model = build_model(cfg)
+
+    def loss_fn(batch_j):
+        out = model.apply(
+            variables, batch_j["image"], batch_j["rois"], batch_j["masks"],
+            batch_j["valid"],
+        )
+        return compute_losses(cfg, out, batch_j, jax.random.PRNGKey(0))
+
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    got = jax.tree.map(np.asarray, jax.jit(loss_fn)(batch_j))
+
+    for key in ("bag_loss", "pcl_loss", "cls_loss", "iou_loss"):
+        np.testing.assert_allclose(
+            got[key], want[key], rtol=5e-3, atol=5e-4,
+            err_msg=f"{key} diverged from the reference assembly",
+        )

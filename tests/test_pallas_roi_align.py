@@ -77,3 +77,70 @@ def test_pallas_backward_matches_xla(rng):
     gp = np.asarray(jax.grad(loss_pallas)(jnp.asarray(feat)))
     gx = np.asarray(jax.grad(loss_xla)(jnp.asarray(feat)))
     np.testing.assert_allclose(gp, gx, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_valid_hw_matches_unpadded(rng):
+    """Zero-padded feature bucket + valid_hw == unpadded kernel output:
+    the dynamic SMEM bounds must reproduce the border snapping of the
+    true feature extent (incl. edge-touching rois)."""
+    h, w, c, n = 11, 13, 8, 6
+    feat = rng.randn(h, w, c).astype(np.float32)
+    # rois out to the exact image border (w*16-1) exercise edge snapping
+    rois = np.array(
+        [
+            [0, 0, w * 16 - 1, h * 16 - 1],
+            [w * 8, h * 8, w * 16 - 1, h * 16 - 1],
+            [0, 0, 40, 40],
+            [5, 90, 200, h * 16 - 1],
+            [100, 3, w * 16 - 1, 80],
+            [30, 30, 120, 120],
+        ],
+        np.float32,
+    )
+    want = np.asarray(
+        rak.roi_align_pallas(jnp.asarray(feat), jnp.asarray(rois), 7, 1 / 16, 0, 4, 4, 4)
+    )
+    feat_p = np.zeros((h + 5, w + 7, c), np.float32)
+    feat_p[:h, :w] = feat
+    got = np.asarray(
+        rak.roi_align_pallas(
+            jnp.asarray(feat_p), jnp.asarray(rois), 7, 1 / 16, 0, 4, 4, 4,
+            valid_hw=(h, w),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # and against the XLA op with the same valid_hw
+    xla = np.asarray(
+        roi_align(
+            jnp.asarray(feat_p), jnp.asarray(rois), output_size=7,
+            spatial_scale=1 / 16, max_adaptive_grid=4, valid_hw=(h, w),
+        )
+    )
+    np.testing.assert_allclose(xla, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_valid_hw_backward(rng):
+    """Gradient of the padded+valid_hw kernel matches the unpadded one on
+    the valid region and is zero on the pad."""
+    h, w, c, n = 9, 10, 4, 4
+    feat = rng.randn(h, w, c).astype(np.float32)
+    rois = np.array(
+        [[0, 0, w * 16 - 1, h * 16 - 1], [10, 10, 100, 90],
+         [40, 5, 150, 140], [0, 60, 80, h * 16 - 1]],
+        np.float32,
+    )
+    g = rng.randn(n, 7, 7, c).astype(np.float32)
+
+    def loss(f, vhw):
+        out = rak.roi_align_pallas(f, jnp.asarray(rois), 7, 1 / 16, 0, 4, 2, 4,
+                                   valid_hw=vhw)
+        return jnp.sum(out * jnp.asarray(g))
+
+    gu = np.asarray(jax.grad(lambda f: loss(f, None))(jnp.asarray(feat)))
+    feat_p = np.zeros((h + 3, w + 6, c), np.float32)
+    feat_p[:h, :w] = feat
+    gp = np.asarray(jax.grad(lambda f: loss(f, (h, w)))(jnp.asarray(feat_p)))
+    np.testing.assert_allclose(gp[:h, :w], gu, rtol=1e-5, atol=1e-6)
+    assert np.abs(gp[h:]).max() == 0.0
+    assert np.abs(gp[:, w:]).max() == 0.0
