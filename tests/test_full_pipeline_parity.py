@@ -151,3 +151,73 @@ def test_train_losses_match_torch_oracle(shared):
             got[key], want[key], rtol=5e-3, atol=5e-4,
             err_msg=f"{key} diverged from the reference assembly",
         )
+
+
+def test_tta_eval_matches_torch_oracle(shared):
+    """Eval chain parity: the real Evaluator (uint8 BGR input, bucket
+    padding, device normalization, hflip TTA, K-head + pass averaging)
+    against a torch-oracle recomputation, and the NMS+limit detections
+    derived from both (reference im_detect_bbox_aug lib/core/test.py:
+    149-240 + box_results_with_nms_and_limit :355-423)."""
+    from cim_tpu.data.transforms import TORCH_MEAN, TORCH_STD
+    from cim_tpu.engine.test import Evaluator, box_results_with_nms_and_limit
+
+    oracle, variables, batch = shared
+    cfg = _cfg()
+    cfg.transform_mode = "ToTensor"
+    cfg.TEST.SCALE = IMAGE_HW[1]  # max side -> im_scale == 1.0 (no resize)
+    cfg.TEST.BBOX_AUG.ENABLED = True
+    cfg.TEST.BBOX_AUG.H_FLIP = True
+    cfg.TEST.BBOX_AUG.SCALES = ()
+    cfg.TEST.BBOX_AUG.SCORE_HEUR = "AVG"
+    cfg.TEST.BBOX_AUG.COORD_HEUR = "ID"
+
+    rng = np.random.RandomState(11)
+    h, w = IMAGE_HW
+    im_bgr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    boxes = batch["rois"][:N_VALID]
+    masks7 = batch["masks"][:N_VALID]
+
+    model = build_model(cfg)
+    ev = Evaluator(cfg, model, variables)
+    got_scores, got_boxes = ev.im_detect_all(im_bgr, boxes, masks7)
+
+    # ---- torch oracle of the same two TTA passes ---------------------- #
+    def torch_scores(im_b, bxs, msks):
+        im_norm = (
+            im_b[:, :, ::-1].astype(np.float32) / 255.0 - TORCH_MEAN
+        ) / TORCH_STD
+        image = torch.from_numpy(np.ascontiguousarray(im_norm.transpose(2, 0, 1)))
+        with torch.no_grad():
+            _, _, r_cls, r_iou = oracle(
+                image, torch.from_numpy(bxs), torch.from_numpy(msks)
+            )
+        # testing_function (model_builder.py:60-68) + K-mean (test.py:130-133)
+        return np.mean(
+            [(c.numpy() * i.numpy())[:, 1:] for c, i in zip(r_cls, r_iou)], axis=0
+        )
+
+    s_id = torch_scores(im_bgr, boxes, masks7)
+    # hflip pass (reference test.py:243-265): flip image, boxes, 7x7 masks
+    boxes_hf = boxes.copy()
+    boxes_hf[:, 0] = w - boxes[:, 2] - 1
+    boxes_hf[:, 2] = w - boxes[:, 0] - 1
+    s_hf = torch_scores(
+        np.ascontiguousarray(im_bgr[:, ::-1]), boxes_hf,
+        np.ascontiguousarray(np.flip(masks7, 2)),
+    )
+    want_scores = (s_id + s_hf) / 2.0
+
+    np.testing.assert_allclose(got_scores, want_scores, rtol=2e-3, atol=2e-5)
+    np.testing.assert_array_equal(got_boxes, boxes)
+
+    # ---- detections through NMS + limit on both score sets ------------ #
+    _, _, cls_got = box_results_with_nms_and_limit(cfg, got_scores, boxes)
+    _, _, cls_want = box_results_with_nms_and_limit(cfg, want_scores, boxes)
+    assert len(cls_got) == len(cls_want) == cfg.MODEL.NUM_CLASSES + 1
+    for j in range(1, cfg.MODEL.NUM_CLASSES + 1):
+        assert cls_got[j].shape == cls_want[j].shape, f"class {j} keep set"
+        if cls_got[j].size:
+            np.testing.assert_allclose(
+                cls_got[j], cls_want[j], rtol=2e-3, atol=2e-5
+            )
