@@ -112,12 +112,14 @@ class COCO:
         return [self.cats[i] for i in ids]
 
     def annToRLE(self, ann):  # noqa: N802
+        """Annotation segmentation -> compressed RLE. Polygon lists and
+        uncompressed RLE dicts are rasterized/compressed with the
+        pycocotools frPyObjects semantics (rle.fr_poly_objects); the
+        reference relies on pycocotools for this
+        (lib/datasets/json_inference.py:54)."""
         img = self.imgs[ann["image_id"]]
         h, w = img["height"], img["width"]
-        segm = ann["segmentation"]
-        if isinstance(segm, dict):
-            return segm
-        raise NotImplementedError("polygon segmentations need rasterization")
+        return rle_util.fr_poly_objects(ann["segmentation"], h, w)
 
     def annToMask(self, ann):  # noqa: N802
         return rle_util.decode(self.annToRLE(ann))

@@ -127,6 +127,108 @@ def to_bbox(rle: dict) -> np.ndarray:
     )
 
 
+def _trunc_int(a):
+    """C-style (int) cast: truncation toward zero."""
+    return np.trunc(a).astype(np.int64)
+
+
+def poly_to_rle(poly, h: int, w: int) -> dict:
+    """Single polygon [x0, y0, x1, y1, ...] -> compressed RLE dict.
+
+    Reimplements the pycocotools maskApi.c ``rleFrPoly`` rasterization
+    semantics (the reference depends on it via
+    ``pycocotools.mask.frPyObjects``, used at
+    /root/reference/lib/datasets/json_inference.py:54 and
+    lib/utils/mask_eval_utils.py:112-117): the boundary is upsampled x5,
+    drawn with a rounding DDA, reduced to column-crossing events, and the
+    sorted column-major crossing positions define the even-odd fill runs.
+    """
+    xy = np.asarray(poly, np.float64).reshape(-1, 2)
+    k = xy.shape[0]
+    scale = 5.0
+    x = _trunc_int(scale * xy[:, 0] + 0.5)
+    y = _trunc_int(scale * xy[:, 1] + 0.5)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+
+    # dense boundary points along every edge (rounding DDA, both axes)
+    us, vs = [], []
+    for j in range(k):
+        xs, xe, ys, ye = int(x[j]), int(x[j + 1]), int(y[j]), int(y[j + 1])
+        dx, dy = abs(xe - xs), abs(ys - ye)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe = xe, xs
+            ys, ye = ye, ys
+        if dx >= dy:
+            s = (ye - ys) / dx if dx else 0.0
+            d = np.arange(dx + 1, dtype=np.int64)
+            t = dx - d if flip else d
+            us.append(t + xs)
+            vs.append(_trunc_int(ys + s * t + 0.5))
+        else:
+            s = (xe - xs) / dy if dy else 0.0
+            d = np.arange(dy + 1, dtype=np.int64)
+            t = dy - d if flip else d
+            vs.append(t + ys)
+            us.append(_trunc_int(xs + s * t + 0.5))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+
+    # column-crossing events, downsampled back to pixel resolution
+    du = u[1:] != u[:-1]
+    xd = np.where(u[1:] < u[:-1], u[1:], u[1:] - 1).astype(np.float64)
+    xd = (xd + 0.5) / scale - 0.5
+    yd = np.minimum(v[1:], v[:-1]).astype(np.float64)
+    yd = (yd + 0.5) / scale - 0.5
+    keep = du & (np.floor(xd) == xd) & (xd >= 0) & (xd <= w - 1)
+    xd = xd[keep]
+    yd = np.ceil(np.clip(yd[keep], 0, h))
+
+    # even-odd fill: sorted column-major crossing positions toggle the value
+    a = np.sort(xd.astype(np.int64) * h + yd.astype(np.int64))
+    a = np.append(a, h * w)
+    gaps = np.diff(np.concatenate([[0], a])).tolist()
+    counts = [gaps[0]]
+    j = 1
+    while j < len(gaps):
+        if gaps[j] > 0:
+            counts.append(gaps[j])
+            j += 1
+        else:  # double crossing at one position: runs merge
+            j += 1
+            if j < len(gaps):
+                counts[-1] += gaps[j]
+                j += 1
+    return {"size": [int(h), int(w)], "counts": counts_to_string(counts)}
+
+
+def merge(rles: list, intersect: bool = False) -> dict:
+    """Union (or intersection) of RLEs (pycocotools mask.merge)."""
+    if len(rles) == 1:
+        return rles[0]
+    m = decode(rles[0]).astype(bool)
+    for r in rles[1:]:
+        m = (m & decode(r).astype(bool)) if intersect else (m | decode(r).astype(bool))
+    return encode(m.astype(np.uint8))
+
+
+def fr_poly_objects(segm, h: int, w: int) -> dict:
+    """pycocotools ``frPyObjects`` + ``merge`` for one annotation's
+    segmentation: list-of-polygons -> merged RLE; uncompressed RLE dict
+    (list counts) -> compressed RLE; compressed passes through."""
+    if isinstance(segm, dict):
+        counts = segm["counts"]
+        if isinstance(counts, (list, tuple)):
+            return {
+                "size": list(segm["size"]),
+                "counts": counts_to_string(counts),
+            }
+        return segm
+    # polygons: [[x0, y0, ...], ...]
+    return merge([poly_to_rle(p, h, w) for p in segm])
+
+
 def iou_rle(dts: list, gts: list, iscrowd=None) -> np.ndarray:
     """Pairwise mask IoU between RLE lists (pycocotools mask.iou semantics:
     for crowd gt, the union is just the dt area)."""
