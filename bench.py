@@ -3,18 +3,20 @@
 
 Prints ONE JSON line:
   {"metric": "train_images_per_sec_per_chip", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": R}
+   "unit": "images/sec/chip", "vs_baseline": R, ...}
 
-Measures the full resnet50_voc training step (backbone fwd+bwd, RoIAlign
-over N=4096 padded proposals, 3 CIM mining branches, all four losses, SGD
-update, grad_accum=4) at the 480-scale image bucket, on synthetic data of
-production shape.
+Measures the full resnet50_voc training step (backbone fwd+bwd, Pallas
+RoIAlign, 3 CIM mining branches, all four losses, SGD update,
+grad_accum=4) at the 480-scale image bucket on synthetic data of
+production shape: n_valid=2000 proposals (the typical COB count per VOC
+image) padded to the 2048 proposal bucket (cfg.TPU.PROPOSAL_BUCKETS —
+round 1 padded everything to 4096, wasting ~2x of the dominant head
+FLOPs).
 
 vs_baseline anchors against REFERENCE_IMGS_PER_SEC_PER_DEVICE — the
-reference publishes no throughput (BASELINE.md); it trains 1 image/GPU
-with per-class python mining loops and per-image pickle IO in forward.
-5.0 img/s/GPU is our documented estimate for its 2-GPU V100 setup; the
-target in BASELINE.json is >= 4x per-device.
+reference publishes no throughput (BASELINE.md) and needs CUDA, so that
+anchor is a documented FLOP-derived estimate; the hard, measured numbers
+are the step time and the model-FLOP MFU also printed here.
 """
 import json
 import os
@@ -26,13 +28,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 # Estimated reference per-device throughput. The reference publishes no
-# throughput and requires CUDA (tools/train.py:163), so this is derived
-# from its compute: the MaskFuse head costs ~5.7 GFLOP/proposal fwd+bwd
-# (3x3 conv 2048->1024 on 7x7 + FC 50176->4096), i.e. ~11.5 TFLOP/image
-# at a typical ~2000 COB proposals, in fp32 torch on the published 2x
-# V100/3090-class GPUs (~6 TFLOP/s sustained fp32) -> ~2s/image plus the
-# per-class python mining loops and per-image pickle reads in forward.
+# throughput and requires CUDA (tools/train.py:163); derived from its
+# compute: ~5.7 GFLOP/proposal fwd+bwd in the MaskFuse head (3x3 conv
+# 2048->1024 on 7x7 + FC 50176->4096) at ~2000 COB proposals/image in
+# fp32 torch on 2x V100/3090-class GPUs (~6 TFLOP/s sustained fp32),
+# plus per-class python mining loops and per-image pickle reads in
+# forward -> ~0.5 img/s/GPU.
 REFERENCE_IMGS_PER_SEC_PER_DEVICE = 0.5
+
+# v5e bf16 peak (per chip)
+TPU_PEAK_FLOPS = 197e12
+
+
+def model_train_flops(n_props: int, feat_hw, dim_in: int = 1024,
+                      hidden: int = 4096, num_classes: int = 20,
+                      refine_times: int = 3, roi: int = 7) -> float:
+    """Analytic FLOPs of one training image (fwd + bwd ~= 3x fwd matmul
+    FLOPs). Head terms dominate; the backbone is counted coarsely."""
+    r2 = roi * roi
+    # MaskFuse: 3x3 conv (2C -> C) on N x 7 x 7 + two FCs
+    conv = n_props * r2 * (2 * dim_in) * dim_in * 9 * 2
+    fc1 = n_props * (dim_in * r2) * hidden * 2
+    fc2 = n_props * hidden * hidden * 2
+    heads = n_props * hidden * (num_classes + 1) * 2 * (2 + 2 * refine_times)
+    # RoIAlign as the Kronecker matmul: (N*r2) x (H*W) x C
+    h, w = feat_hw
+    roi_align = n_props * r2 * h * w * dim_in * 2
+    # resnet50 conv1..layer3: ~3.26 GMAC at 224^2, scaled by pixels
+    backbone = 2 * 3.26e9 * (h * 16 * w * 16) / (224 * 224)
+    fwd = conv + fc1 + fc2 + heads + roi_align + backbone
+    return 3.0 * fwd
 
 
 def main():
@@ -40,6 +65,7 @@ def main():
     import jax.numpy as jnp
 
     from cim_tpu.config import clone_cfg, load_cfg
+    from cim_tpu.data.loader import proposal_bucket
     from cim_tpu.data.synthetic import make_microbatch, make_train_batch
     from cim_tpu.engine.train import Trainer
 
@@ -51,19 +77,22 @@ def main():
     cfg.TPU.REMAT_BOX_HEAD = False  # pallas RoIAlign saves only (feat, rois)
     accum = cfg.TPU.GRAD_ACCUM  # 4, the reference's iter_size
 
+    n_valid = 2000  # typical COB proposal count per VOC image
+    n_pad = proposal_bucket(cfg, n_valid)
+
     rng = np.random.RandomState(0)
     # 480-scale bucket for a 500x375 VOC image -> 384x512 padded
     kw = dict(
         image_hw=(384, 512),
-        n_props=cfg.TPU.PROPOSAL_PAD,
-        n_valid=2000,  # typical COB proposal count per VOC image
+        n_props=n_pad,
+        n_valid=n_valid,
         num_classes=cfg.MODEL.NUM_CLASSES,
     )
     sample = make_microbatch(rng, **kw)
     trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
     # pre-stage two distinct batches on device: the benchmark measures the
     # chip's step time, not host->device transfer (which on this rig goes
-    # through a network tunnel; on a real TPU host the ~70MB/step rides
+    # through a network tunnel; on a real TPU host the ~40MB/step rides
     # PCIe and overlaps with compute via the prefetching input pipeline)
     batches = [
         jax.device_put(
@@ -85,6 +114,9 @@ def main():
     dt = time.time() - t0
 
     imgs_per_sec = n_steps * accum / dt
+    feat_hw = (384 // 16, 512 // 16)
+    flops_padded = model_train_flops(n_pad, feat_hw)
+    flops_model = model_train_flops(n_valid, feat_hw)
     print(
         json.dumps(
             {
@@ -93,6 +125,14 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(
                     imgs_per_sec / REFERENCE_IMGS_PER_SEC_PER_DEVICE, 3
+                ),
+                "proposal_pad": n_pad,
+                "ms_per_image": round(1000.0 / imgs_per_sec, 1),
+                "mfu_padded": round(
+                    imgs_per_sec * flops_padded / TPU_PEAK_FLOPS, 4
+                ),
+                "mfu_model": round(
+                    imgs_per_sec * flops_model / TPU_PEAK_FLOPS, 4
                 ),
             }
         )

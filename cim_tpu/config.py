@@ -209,6 +209,11 @@ def get_default_cfg() -> AttrDict:
     c.TPU.DATA_PARALLEL = 0  # 0 = all local devices
     c.TPU.PRECISION = "bf16_compute"  # params f32, matmul compute bf16
     c.TPU.PROPOSAL_PAD = 4096  # N_max: proposals padded/capped per image
+    # proposal-count buckets: each image pads to the smallest bucket >= its
+    # proposal count (<= PROPOSAL_PAD). Typical VOC images carry ~2000 COB
+    # proposals, so a flat 4096 pad wastes ~2x of the dominant head FLOPs;
+    # () = single PROPOSAL_PAD bucket.
+    c.TPU.PROPOSAL_BUCKETS = (1024, 2048, 4096)
     c.TPU.IMAGE_BUCKETS = ()  # () = derive from TRAIN.SCALES
     c.TPU.MAX_ADAPTIVE_GRID = 2  # RoIAlign adaptive sampling cap
     c.TPU.PALLAS_ROI_ALIGN = False  # Pallas separable-matmul RoIAlign kernel
@@ -216,6 +221,9 @@ def get_default_cfg() -> AttrDict:
     c.TPU.MAX_CLUSTERS = 64  # PCL cluster cap per image
     c.TPU.REMAT_BACKBONE = False  # jax.checkpoint the conv body
     c.TPU.GRAD_ACCUM = 4  # reference iter_size (tools/train.py:84-86)
+    # eval: TTA passes of EVAL_BATCH images stacked per vmapped forward
+    # (1 = sequential reference-style loop)
+    c.TPU.EVAL_BATCH = 4
 
     return c
 

@@ -61,9 +61,25 @@ def load_iou_maps(cfg, entry, index):
     return iou, asy
 
 
-def build_microbatch(cfg, entry, im_scale, bucket_hw, rng, image=None):
+def proposal_bucket(cfg, n: int) -> int:
+    """Smallest configured proposal bucket >= n (capped at PROPOSAL_PAD).
+
+    Proposal-count bucketing: padding every image to the flat 4096 cap
+    wastes ~2x of the MaskFuse/head FLOPs at the typical ~2000 COB
+    proposals per VOC image; each (scale, image-bucket, proposal-bucket)
+    shape is one compiled program.
+    """
+    cap = cfg.TPU.PROPOSAL_PAD
+    for b in sorted(cfg.TPU.PROPOSAL_BUCKETS or ()):
+        if n <= b <= cap:
+            return int(b)
+    return int(cap)
+
+
+def build_microbatch(cfg, entry, im_scale, bucket_hw, rng, image=None,
+                     n_max=None):
     """One fixed-shape training microbatch from an roidb entry."""
-    n_max = cfg.TPU.PROPOSAL_PAD
+    n_max = n_max if n_max is not None else cfg.TPU.PROPOSAL_PAD
     num_classes = cfg.MODEL.NUM_CLASSES
 
     if image is None:
@@ -163,11 +179,12 @@ class TrainLoader:
             pos += 1
             scale = scales[self.rng.randint(len(scales))]
             bucket, s = self._entry_bucket(entry, scale)
-            key = (scale, bucket)
+            n_bucket = proposal_bucket(self.cfg, len(entry["boxes"]))
+            key = (scale, bucket, n_bucket)
             pending.setdefault(key, []).append((entry, s))
             if len(pending[key]) >= self.per_step:
                 group = pending.pop(key)[: self.per_step]
-                batch = self._stack(group, bucket)
+                batch = self._stack(group, bucket, n_bucket)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(batch, timeout=0.5)
@@ -175,9 +192,9 @@ class TrainLoader:
                     except queue.Full:
                         continue
 
-    def _stack(self, group, bucket):
+    def _stack(self, group, bucket, n_bucket=None):
         mbs = [
-            build_microbatch(self.cfg, e, s, bucket, self.rng)
+            build_microbatch(self.cfg, e, s, bucket, self.rng, n_max=n_bucket)
             for e, s in group
         ]
         out = {}

@@ -97,9 +97,10 @@ class Evaluator:
         valid[:n] = True
         return im_p, boxes_p, masks_p, valid
 
-    def im_detect_bbox(self, im, boxes, masks, target_scale, target_max_size):
-        """One forward pass at one scale. im: HxWx3 uint8 BGR (cv2 layout).
-        Returns (scores (N, C), boxes)."""
+    def _prepare(self, im, boxes, masks, target_scale, target_max_size):
+        """Host half of one pass: resize, scale rois, pad to the shape
+        bucket. Returns a request dict consumable by _apply (single) or
+        stacked into a batch (BatchedEvaluator)."""
         cfg = self.cfg
         im_scale = scale_for_target(im.shape[:2], target_scale, target_max_size)
         if cfg.transform_mode == "ToTensor":
@@ -108,14 +109,27 @@ class Evaluator:
         else:
             im_prep = prep_image(im, im_scale, cfg.transform_mode, cfg.PIXEL_MEANS)
         rois = boxes.astype(np.float32) * im_scale
-        n = boxes.shape[0]
         im_p, rois_p, masks_p, valid = self._pad_to_bucket(im_prep, rois, masks)
+        return {
+            "image": im_p,
+            "rois": rois_p,
+            "masks": masks_p,
+            "valid": valid,
+            "im_h": im_prep.shape[0],
+            "im_w": im_prep.shape[1],
+            "n": boxes.shape[0],
+        }
+
+    def im_detect_bbox(self, im, boxes, masks, target_scale, target_max_size):
+        """One forward pass at one scale. im: HxWx3 uint8 BGR (cv2 layout).
+        Returns (scores (N, C), boxes)."""
+        req = self._prepare(im, boxes, masks, target_scale, target_max_size)
         scores = self._apply(
-            self.variables, jnp.asarray(im_p), jnp.asarray(rois_p),
-            jnp.asarray(masks_p), jnp.asarray(valid),
-            im_prep.shape[0], im_prep.shape[1],
+            self.variables, jnp.asarray(req["image"]), jnp.asarray(req["rois"]),
+            jnp.asarray(req["masks"]), jnp.asarray(req["valid"]),
+            req["im_h"], req["im_w"],
         )
-        return np.asarray(scores)[:n], boxes
+        return np.asarray(scores)[: req["n"]], boxes
 
     def im_detect_bbox_hflip(self, im, boxes, masks, target_scale, target_max_size):
         im_hf = im[:, ::-1, :]
@@ -198,6 +212,134 @@ class Evaluator:
         else:
             raise NotImplementedError
         return scores_c, boxes_c
+
+    # ------------------------------------------------------------------ #
+    def iter_tta_inputs(self, im, boxes, masks):
+        """Pre-prep (image, boxes, masks, scale, max_size) for every TTA
+        pass of cfg.TEST.BBOX_AUG, in im_detect_all's order. Each pass's
+        scores align 1:1 with the ORIGINAL proposal index (hflip /
+        aspect-ratio transform the inputs in place), so AVG is a plain
+        mean over passes."""
+        cfg = self.cfg
+        if not cfg.TEST.BBOX_AUG.ENABLED:
+            yield (im, boxes, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+            return
+
+        def hflip(im_x, boxes_x, masks_x):
+            b = np.asarray(flip_boxes(jnp.asarray(boxes_x), im_x.shape[1]))
+            return im_x[:, ::-1, :], b, np.flip(masks_x, 2).copy()
+
+        if cfg.TEST.BBOX_AUG.H_FLIP:
+            im_f, b_f, m_f = hflip(im, boxes, masks)
+            yield (im_f, b_f, m_f, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+        for scale in cfg.TEST.BBOX_AUG.SCALES:
+            max_size = cfg.TEST.BBOX_AUG.MAX_SIZE
+            yield (im, boxes, masks, scale, max_size)
+            if cfg.TEST.BBOX_AUG.SCALE_H_FLIP:
+                im_f, b_f, m_f = hflip(im, boxes, masks)
+                yield (im_f, b_f, m_f, scale, max_size)
+        for ar in cfg.TEST.BBOX_AUG.ASPECT_RATIOS:
+            from cim_tpu.data.transforms import aspect_ratio_rel
+            from cim_tpu.ops.boxes import aspect_ratio as box_ar
+
+            im_ar = aspect_ratio_rel(im, ar)
+            boxes_ar = np.asarray(box_ar(jnp.asarray(boxes), ar))
+            yield (im_ar, boxes_ar, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+            if cfg.TEST.BBOX_AUG.ASPECT_RATIO_H_FLIP:
+                im_f, b_f, m_f = hflip(im_ar, boxes_ar, masks)
+                yield (im_f, b_f, m_f, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+        yield (im, boxes, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE)
+
+
+class BatchedEvaluator(Evaluator):
+    """Cross-image batched TTA inference.
+
+    The reference (and round 1 here) runs the 10 TTA passes one image at
+    a time — ~10 sequential small forwards per image, each underfilling
+    the chip. This evaluator collects the passes of a WINDOW of images,
+    groups them by compiled shape (image bucket, proposal pad), stacks
+    each group to a fixed batch B and runs ONE vmapped forward per stack —
+    same math, ~B x fewer kernel launches and full MXU occupancy.
+    Requires SCORE_HEUR == "AVG" (the shipped configs',
+    configs/resnet50_voc.yaml:50) or TTA disabled, and COORD_HEUR == "ID";
+    anything else falls back to the sequential path per image.
+    """
+
+    def __init__(self, cfg, model, variables, batch_size: int | None = None):
+        super().__init__(cfg, model, variables)
+        self.batch_size = int(batch_size or cfg.TPU.EVAL_BATCH)
+        self._apply_batched = jax.jit(
+            jax.vmap(self._forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        )
+
+    def _batched_supported(self):
+        aug = self.cfg.TEST.BBOX_AUG
+        return (not aug.ENABLED) or (
+            aug.SCORE_HEUR == "AVG" and aug.COORD_HEUR == "ID"
+        )
+
+    def _run_group(self, group):
+        """group: list of (image_idx, request). Pads to batch_size by
+        repeating the last request (masked out on scatter)."""
+        b = self.batch_size
+        reqs = [r for _, r in group]
+        while len(reqs) < b:
+            reqs.append(reqs[-1])
+        stacked = {
+            k: jnp.asarray(np.stack([r[k] for r in reqs]))
+            for k in ("image", "rois", "masks", "valid")
+        }
+        im_h = jnp.asarray([r["im_h"] for r in reqs], jnp.int32)
+        im_w = jnp.asarray([r["im_w"] for r in reqs], jnp.int32)
+        scores = np.asarray(
+            self._apply_batched(
+                self.variables, stacked["image"], stacked["rois"],
+                stacked["masks"], stacked["valid"], im_h, im_w,
+            )
+        )
+        return [
+            (idx, scores[i][: group[i][1]["n"]]) for i, (idx, _) in enumerate(group)
+        ]
+
+    def im_detect_all_many(self, items, window: int | None = None):
+        """items: list of (im, boxes, masks). Returns [(scores, boxes)]
+        in order. Passes of up to `window` images are batched together
+        (window defaults to 4 x batch_size)."""
+        if not self._batched_supported():
+            return [self.im_detect_all(im, b, m) for im, b, m in items]
+        window = window or 4 * self.batch_size
+        out_sum = [None] * len(items)
+        out_cnt = [0] * len(items)
+
+        for w0 in range(0, len(items), window):
+            chunk = items[w0 : w0 + window]
+            groups: dict = {}
+            for off, (im, boxes, masks) in enumerate(chunk):
+                idx = w0 + off
+                for im_x, b_x, m_x, scale, max_size in self.iter_tta_inputs(
+                    im, boxes, masks
+                ):
+                    req = self._prepare(im_x, b_x, m_x, scale, max_size)
+                    key = (req["image"].shape, req["rois"].shape[0])
+                    groups.setdefault(key, []).append((idx, req))
+                    if len(groups[key]) == self.batch_size:
+                        self._scatter(
+                            self._run_group(groups.pop(key)), out_sum, out_cnt
+                        )
+            for group in groups.values():  # flush partials
+                self._scatter(self._run_group(group), out_sum, out_cnt)
+
+        results = []
+        for i, (im, boxes, masks) in enumerate(items):
+            assert out_cnt[i] > 0
+            results.append((out_sum[i] / out_cnt[i], boxes))
+        return results
+
+    @staticmethod
+    def _scatter(scored, out_sum, out_cnt):
+        for idx, s in scored:
+            out_sum[idx] = s if out_sum[idx] is None else out_sum[idx] + s
+            out_cnt[idx] += 1
 
 
 def box_results_with_nms_and_limit(cfg, scores, boxes):

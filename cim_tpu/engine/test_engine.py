@@ -26,6 +26,7 @@ from collections import defaultdict
 from cim_tpu.data.json_dataset import JsonDataset
 from cim_tpu.engine.stats import Timer
 from cim_tpu.engine.test import (
+    BatchedEvaluator,
     Evaluator,
     box_results_for_corloc,
     box_results_with_nms_and_limit,
@@ -65,7 +66,6 @@ def test_net(
     roidb, dataset, start_ind, end_ind, total_num_images = (
         get_roidb_and_dataset(cfg, dataset_name, proposal_file, ind_range)
     )
-    evaluator = Evaluator(cfg, model, variables)
     num_images = len(roidb)
     all_scores = {}
     timers = defaultdict(Timer)
@@ -79,22 +79,46 @@ def test_net(
             assert im is not None, f"cannot read {entry['image']}"
             return im
 
-    for i, entry in enumerate(roidb):
-        im = image_loader(entry)
-        timers["im_detect_bbox"].tic()
-        scores, boxes = evaluator.im_detect_all(
-            im, entry["boxes"], entry["masks"]
-        )
-        timers["im_detect_bbox"].toc()
-        all_scores[entry["image"]] = {"scores": scores, "boxes": boxes}
-        if i % 10 == 0:
-            ave = timers["im_detect_bbox"].average_time
-            eta = (num_images - i - 1) * ave
+    eval_batch = int(cfg.TPU.EVAL_BATCH or 1)
+    if eval_batch > 1:
+        # cross-image batched TTA (engine.test.BatchedEvaluator)
+        evaluator = BatchedEvaluator(cfg, model, variables, eval_batch)
+        window = 4 * eval_batch
+        for w0 in range(0, num_images, window):
+            chunk = roidb[w0 : w0 + window]
+            items = [
+                (image_loader(e), e["boxes"], e["masks"]) for e in chunk
+            ]
+            timers["im_detect_bbox"].tic()
+            results = evaluator.im_detect_all_many(items, window)
+            timers["im_detect_bbox"].toc(average=False)
+            for e, (scores, boxes) in zip(chunk, results):
+                all_scores[e["image"]] = {"scores": scores, "boxes": boxes}
+            done = min(w0 + window, num_images)
+            ave = timers["im_detect_bbox"].total_time / done
             logger.info(
-                "im_detect: range [%d, %d] of %d: %d/%d %.3fs (eta: %ds)",
-                start_ind + 1, end_ind, total_num_images, start_ind + i + 1,
-                start_ind + num_images, ave, int(eta),
+                "im_detect: range [%d, %d] of %d: %d/%d %.3fs/im (eta: %ds)",
+                start_ind + 1, end_ind, total_num_images, start_ind + done,
+                start_ind + num_images, ave, int((num_images - done) * ave),
             )
+    else:
+        evaluator = Evaluator(cfg, model, variables)
+        for i, entry in enumerate(roidb):
+            im = image_loader(entry)
+            timers["im_detect_bbox"].tic()
+            scores, boxes = evaluator.im_detect_all(
+                im, entry["boxes"], entry["masks"]
+            )
+            timers["im_detect_bbox"].toc()
+            all_scores[entry["image"]] = {"scores": scores, "boxes": boxes}
+            if i % 10 == 0:
+                ave = timers["im_detect_bbox"].average_time
+                eta = (num_images - i - 1) * ave
+                logger.info(
+                    "im_detect: range [%d, %d] of %d: %d/%d %.3fs (eta: %ds)",
+                    start_ind + 1, end_ind, total_num_images, start_ind + i + 1,
+                    start_ind + num_images, ave, int(eta),
+                )
 
     det_name = "discovery.pkl" if check_corloc else "detections.pkl"
     if ind_range is not None:

@@ -84,10 +84,10 @@ def test_train_loader_stacks_same_bucket(rng):
 
     orig = loader_mod.build_microbatch
 
-    def fake_mb(cfg_, entry, s, bucket, rng_, image=None):
+    def fake_mb(cfg_, entry, s, bucket, rng_, image=None, **kw):
         img = (np.random.RandomState(entry["id"]).rand(
             entry["height"], entry["width"], 3) * 255).astype(np.uint8)
-        return orig(cfg_, entry, s, bucket, rng_, image=img)
+        return orig(cfg_, entry, s, bucket, rng_, image=img, **kw)
 
     loader_mod.build_microbatch = fake_mb
     try:
@@ -101,3 +101,54 @@ def test_train_loader_stacks_same_bucket(rng):
     assert batch["image"].shape[:2] == (2, 2)
     assert batch["rois"].shape == (2, 2, 40, 4)
     assert batch["valid"].dtype == bool
+
+
+def test_proposal_bucket_selection():
+    from cim_tpu.data.loader import proposal_bucket
+
+    cfg = _cfg()
+    cfg.TPU.PROPOSAL_PAD = 4096
+    cfg.TPU.PROPOSAL_BUCKETS = (1024, 2048, 4096)
+    assert proposal_bucket(cfg, 500) == 1024
+    assert proposal_bucket(cfg, 1024) == 1024
+    assert proposal_bucket(cfg, 1500) == 2048
+    assert proposal_bucket(cfg, 3000) == 4096
+    assert proposal_bucket(cfg, 9000) == 4096  # capped
+    cfg.TPU.PROPOSAL_BUCKETS = ()
+    assert proposal_bucket(cfg, 500) == 4096  # single flat bucket
+    cfg.TPU.PROPOSAL_PAD = 40  # cap below every bucket
+    cfg.TPU.PROPOSAL_BUCKETS = (1024, 2048, 4096)
+    assert proposal_bucket(cfg, 30) == 40
+
+
+def test_train_loader_groups_by_proposal_bucket(rng):
+    """Images with different proposal counts land in different compiled
+    shapes; a group only fills from same-bucket images."""
+    cfg = _cfg()
+    cfg.TRAIN.SCALES = (128,)
+    cfg.TPU.PROPOSAL_PAD = 64
+    cfg.TPU.PROPOSAL_BUCKETS = (32, 64)
+    entries = [_entry(rng, n=(20 if i % 2 == 0 else 50)) for i in range(8)]
+    for i, e in enumerate(entries):
+        e["id"] = i + 1
+
+    import cim_tpu.data.loader as loader_mod
+
+    orig = loader_mod.build_microbatch
+
+    def fake_mb(cfg_, entry, s, bucket, rng_, image=None, **kw):
+        img = (np.random.RandomState(entry["id"]).rand(
+            entry["height"], entry["width"], 3) * 255).astype(np.uint8)
+        return orig(cfg_, entry, s, bucket, rng_, image=img, **kw)
+
+    loader_mod.build_microbatch = fake_mb
+    try:
+        loader = TrainLoader(cfg, entries, n_devices=1, grad_accum=2, seed=0)
+        it = iter(loader)
+        shapes = {next(it)["rois"].shape[2] for _ in range(4)}
+        loader.close()
+    finally:
+        loader_mod.build_microbatch = orig
+
+    # both proposal buckets appear, each batch uniform in N
+    assert shapes == {32, 64}
