@@ -150,10 +150,17 @@ def log_copy_paste_friendly_results(results):
 
 def check_expected_results(results, expected, atol=0.005, rtol=0.1):
     """Regression gate (reference task_evaluation.py:103-156;
-    cfg.EXPECTED_RESULTS entries [dataset, task, metric, value])."""
+    cfg.EXPECTED_RESULTS entries [dataset, task, metric, value]).
+
+    `results` may be the nested reference shape results[task][metric] or
+    the flat dict evaluate_all returns here ({"AP": ..., "AP50": ...});
+    both resolve."""
     failures = []
     for dataset_name, task, metric, expected_val in expected:
-        actual = results.get(task, {}).get(metric)
+        node = results.get(task)
+        actual = node.get(metric) if isinstance(node, dict) else results.get(metric)
+        if not isinstance(actual, (int, float)):
+            actual = None
         if actual is None:
             failures.append(f"missing metric {task}/{metric}")
             continue

@@ -145,3 +145,64 @@ def test_corloc_post_processing(synth_dataset, rng):
         np.testing.assert_allclose(
             cls[j][0, 4], scores[:, j - 1].max(), rtol=1e-6
         )
+
+
+def test_expected_results_gate_end_to_end(synth_dataset, rng, monkeypatch):
+    """The regression gate wired through run_inference: a matching
+    expectation passes, a seeded mismatch raises AND triggers the email
+    path (reference task_evaluation.py:103-156 + logging.py:86-92 —
+    latent upstream, live here)."""
+    cfg = _cfg(synth_dataset["tmp"])
+    cfg.TEST.PROPOSAL_FILES = (synth_dataset["prop_file"],)
+    cfg.TEST.BBOX_AUG.ENABLED = False  # single pass: this test is about the gate
+
+    from cim_tpu.engine.test_engine import run_inference
+    from cim_tpu.engine.train import Trainer
+
+    sample = make_microbatch(rng, image_hw=(64, 64), n_props=32, n_valid=24)
+    cfg.TPU.PROPOSAL_PAD = 32
+    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+    variables = {"params": trainer.state.params, "stats": trainer.stats}
+
+    def image_loader(entry):
+        r = np.random.RandomState(entry["id"])
+        return (r.rand(entry["height"], entry["width"], 3) * 255).astype(np.uint8)
+
+    # 1. matching expectation -> passes (huge atol absorbs the actual AP)
+    cfg.EXPECTED_RESULTS = [["synth_test", "box", "AP", 0.0]]
+    cfg.EXPECTED_RESULTS_ATOL = 10.0
+    out_dir = str(synth_dataset["tmp"] / "gate_ok")
+    run_inference(cfg, trainer.model, variables, out_dir,
+                  check_expected_results=True, image_loader=image_loader)
+
+    # 2. impossible expectation -> AssertionError + failure email sent
+    sent = {}
+
+    class FakeSMTP:
+        def __init__(self, host):
+            sent["host"] = host
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def sendmail(self, frm, to, msg):
+            sent["to"] = to
+            sent["msg"] = msg
+
+    import smtplib
+
+    monkeypatch.setattr(smtplib, "SMTP", FakeSMTP)
+    cfg.EXPECTED_RESULTS = [["synth_test", "box", "AP", 99.0]]
+    cfg.EXPECTED_RESULTS_ATOL = 0.001
+    cfg.EXPECTED_RESULTS_RTOL = 0.0
+    cfg.EXPECTED_RESULTS_EMAIL = "oncall@example.com"
+    out_dir = str(synth_dataset["tmp"] / "gate_fail")
+    with pytest.raises(AssertionError) as exc:
+        run_inference(cfg, trainer.model, variables, out_dir,
+                      check_expected_results=True, image_loader=image_loader)
+    assert "AP" in str(exc.value)
+    assert sent["to"] == ["oncall@example.com"]
+    assert "AP" in sent["msg"]

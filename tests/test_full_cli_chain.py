@@ -196,3 +196,44 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
     for t in (25, 50, 70, 75):
         assert f"mAP{t}" in metrics
         assert np.isfinite(metrics[f"mAP{t}"])
+
+
+@pytest.mark.slow
+def test_testnet_cli_exits_nonzero_on_gate_mismatch(disk_dataset):
+    """tools/test_net.py with a seeded EXPECTED_RESULTS mismatch must exit
+    non-zero (the regression-gate CI contract)."""
+    root = disk_dataset
+
+    def run(args, timeout=560):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO
+        env["CIM_TPU_NO_CACHE"] = "1"
+        env["CIM_TPU_DATASET_REGISTRY"] = str(root / "registry.json")
+        env.pop("XLA_FLAGS", None)
+        return subprocess.run(
+            [sys.executable] + args, cwd=REPO, env=env, capture_output=True,
+            text=True, timeout=timeout,
+        )
+
+    sets = [
+        "--set",
+        "MODEL.CONV_BODY", "tiny.conv_body",
+        "TPU.PROPOSAL_PAD", "32",
+        "TPU.MAX_CLUSTERS", "4",
+        "TPU.DATA_PARALLEL", "1",
+        "TEST.DATASETS", "('synth_disk',)",
+        "TEST.PROPOSAL_FILES", f"(r'{root / 'props.pkl'}',)",
+        "TEST.SCALE", "96",
+        "TEST.BBOX_AUG.ENABLED", "False",
+        "DATA_DIR", str(root),
+        "EXPECTED_RESULTS", "[['synth_disk','box','AP',99.0]]",
+        "EXPECTED_RESULTS_ATOL", "0.001",
+        "EXPECTED_RESULTS_RTOL", "0.0",
+    ]
+    out = run(
+        ["tools/test_net.py", "--cfg", "configs/resnet50_voc.yaml",
+         "--output_dir", str(root / "gate_out")] + sets
+    )
+    assert out.returncode != 0
+    assert "FAIL" in (out.stderr + out.stdout)
