@@ -224,6 +224,9 @@ def get_default_cfg() -> AttrDict:
     # eval: TTA passes of EVAL_BATCH images stacked per vmapped forward
     # (1 = sequential reference-style loop)
     c.TPU.EVAL_BATCH = 4
+    # fused TTA: ship the ORIGINAL image once and derive all TTA passes
+    # on-device in one compiled program (engine.test._fused_forward)
+    c.TPU.FUSED_TTA = True
 
     return c
 

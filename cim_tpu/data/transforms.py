@@ -61,13 +61,22 @@ def aspect_ratio_rel(im, aspect_ratio: float):
     )
 
 
+def _resize_totensor_uint8(im, scale, interp):
+    """The reference resizes the float32 image and truncates to uint8
+    (blob.py:117-128: astype(float32) -> cv2.resize -> np.uint8), which
+    differs from resizing the uint8 directly (cv2 rounds internally) by
+    +/-1 in ~half the pixels. Replicate the float-resize-then-truncate
+    order for pixel-exact parity."""
+    return np.uint8(_resize(im.astype(np.float32), scale, interp))
+
+
 def prep_image_uint8_rgb(im, scale):
     """Host half of the "ToTensor" transform: resize + BGR->RGB, staying
     uint8. The /255 + mean/std normalization runs on device
     (cim_tpu.engine.test.Evaluator._forward) — 4x less host->device
     transfer and no single-core float math per TTA pass."""
     interp = cv2.INTER_LINEAR if _HAVE_CV2 else None
-    im_r = np.uint8(_resize(im, scale, interp)) if scale != 1.0 else im
+    im_r = _resize_totensor_uint8(im, scale, interp) if scale != 1.0 else im
     return np.ascontiguousarray(im_r[:, :, ::-1])
 
 
@@ -80,7 +89,7 @@ def prep_image(im, scale, mode: str, pixel_means=None):
             imf = imf - np.asarray(pixel_means, np.float32).reshape(1, 1, 3)
         return _resize(imf, scale, interp) if scale != 1.0 else imf
     if mode == "ToTensor":
-        im_r = np.uint8(_resize(im, scale, interp)) if scale != 1.0 else im
+        im_r = _resize_totensor_uint8(im, scale, interp) if scale != 1.0 else im
         im_rgb = im_r[:, :, ::-1].astype(np.float32) / 255.0
         return (im_rgb - TORCH_MEAN) / TORCH_STD
     raise AssertionError(f"prep_image: unknown transform_mode {mode!r}")

@@ -88,7 +88,10 @@ class TrainingStats:
 
     def update_iter_stats(self, metrics: dict):
         for k, v in metrics.items():
-            if k.endswith("loss"):
+            # losses + mining health metrics (mined_gt_k / fg_frac_k /
+            # has_gt_k — see engine.train.compute_losses) are all
+            # median-smoothed and logged
+            if k.endswith("loss") or k.startswith(("mined_gt", "fg_frac", "has_gt")):
                 self.smoothed_losses[k].add_value(v)
         if "total_loss" in metrics:
             self.smoothed_total.add_value(metrics["total_loss"])

@@ -54,6 +54,7 @@ class Evaluator:
         # stalls/crashes the remote AOT compiler
         self.variables = jax.device_put(variables)
         self._apply = jax.jit(self._forward)
+        self._apply_fused = None  # built on first fused call
 
     def _forward(self, variables, image, rois, masks, valid, im_h, im_w):
         if image.dtype == jnp.uint8:
@@ -80,6 +81,121 @@ class Evaluator:
         # refine_score[k] = (cls_k * iou_k)[:, 1:]; mean over K branches
         scores = out["refine_cls"] * out["refine_iou"]  # (K, N, C+1)
         return jnp.mean(scores[:, :, 1:], axis=0)  # (N, C)
+
+    # -------------------------- fused TTA ------------------------------ #
+    def _tta_pass_list(self):
+        """Static (target_scale, hflip) list in im_detect_all's order."""
+        cfg = self.cfg
+        if not cfg.TEST.BBOX_AUG.ENABLED:
+            return [(int(cfg.TEST.SCALE), False)]
+        passes = []
+        if cfg.TEST.BBOX_AUG.H_FLIP:
+            passes.append((int(cfg.TEST.SCALE), True))
+        for s in cfg.TEST.BBOX_AUG.SCALES:
+            passes.append((int(s), False))
+            if cfg.TEST.BBOX_AUG.SCALE_H_FLIP:
+                passes.append((int(s), True))
+        passes.append((int(cfg.TEST.SCALE), False))
+        return passes
+
+    def fused_supported(self) -> bool:
+        """Fused TTA covers the shipped protocols: scales x hflip with
+        AVG/ID heuristics (configs/*voc.yaml). Aspect-ratio TTA (two
+        chained resamplings) and UNION heuristics fall back to the
+        per-pass path."""
+        cfg = self.cfg
+        aug = cfg.TEST.BBOX_AUG
+        if cfg.transform_mode not in ("ToTensor", "org"):
+            return False
+        if not aug.ENABLED:
+            return True
+        return bool(
+            aug.SCORE_HEUR == "AVG"
+            and aug.COORD_HEUR == "ID"
+            and not tuple(aug.ASPECT_RATIOS)
+        )
+
+    def _fused_forward(self, variables, image_u8, rois, masks, valid, im_h, im_w):
+        """ALL TTA passes of one image in ONE compiled program.
+
+        The reference resizes/flips on the host per pass and ships each
+        variant (lib/core/test.py:149-265). Here the ORIGINAL uint8 BGR
+        bucket ships once; every pass derives its input on-device
+        (ops.image.resize_bilinear_dynamic with the hflip folded into the
+        sampling), cutting host->device traffic ~10x and the dispatches
+        per image 10 -> 1. Scores are the AVG over passes of the K-head
+        mean — identical math to im_detect_all.
+        """
+        from cim_tpu.data.transforms import TORCH_MEAN, TORCH_STD
+        from cim_tpu.ops.image import resize_bilinear_dynamic
+
+        cfg = self.cfg
+        passes = self._tta_pass_list()
+        max_side = jnp.maximum(im_h, im_w).astype(jnp.float32)
+        masks_f = jnp.flip(masks, 2)
+        if cfg.transform_mode == "org":
+            # blob.py:101-103: float32 BGR minus means, THEN resize
+            base = image_u8.astype(jnp.float32) - jnp.asarray(
+                cfg.PIXEL_MEANS, jnp.float32
+            ).reshape(1, 1, 3)
+        else:
+            base = image_u8[:, :, ::-1].astype(jnp.float32)  # BGR -> RGB
+
+        total = jnp.zeros((), jnp.float32)
+        for target, hflip in passes:
+            tp_h = _round_up(int(target), PAD_MULTIPLE)
+            # canvas is square: max side == target exactly; the shorter
+            # side wastes only backbone FLOPs on masked zeros (~4% of the
+            # head-dominated total)
+            s = jnp.float32(target) / max_side
+            resized, (ovh, ovw) = resize_bilinear_dynamic(
+                base, (tp_h, tp_h), s, (im_h, im_w), hflip=hflip
+            )
+            if cfg.transform_mode == "ToTensor":
+                # blob.py:127-139: np.uint8 truncation, /255, normalize
+                img = jnp.floor(jnp.clip(resized, 0.0, 255.0)) / 255.0
+                img = (img - jnp.asarray(TORCH_MEAN)) / jnp.asarray(TORCH_STD)
+            else:
+                img = resized
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tp_h, tp_h), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tp_h, tp_h), 1)
+            img = img * ((rows < ovh) & (cols < ovw))[..., None].astype(img.dtype)
+            if hflip:
+                # flip boxes about the ORIGINAL width, then scale
+                r = flip_boxes(rois, im_w) * s
+                m = masks_f
+            else:
+                r = rois * s
+                m = masks
+            out = self.model.apply(variables, img, r, m, valid, im_hw=(ovh, ovw))
+            sc = out["refine_cls"] * out["refine_iou"]
+            total = total + jnp.mean(sc[:, :, 1:], axis=0)
+        return total / float(len(passes))
+
+    def _prepare_raw(self, im, boxes, masks):
+        """Pad the ORIGINAL image + proposals to their buckets (no host
+        resize: fused passes resize on-device)."""
+        im_p, rois_p, masks_p, valid = self._pad_to_bucket(im, boxes, masks)
+        return {
+            "image": im_p,
+            "rois": rois_p,
+            "masks": masks_p,
+            "valid": valid,
+            "im_h": im.shape[0],
+            "im_w": im.shape[1],
+            "n": boxes.shape[0],
+        }
+
+    def im_detect_all_fused(self, im, boxes, masks):
+        if self._apply_fused is None:
+            self._apply_fused = jax.jit(self._fused_forward)
+        req = self._prepare_raw(im, boxes, masks)
+        scores = self._apply_fused(
+            self.variables, jnp.asarray(req["image"]), jnp.asarray(req["rois"]),
+            jnp.asarray(req["masks"]), jnp.asarray(req["valid"]),
+            req["im_h"], req["im_w"],
+        )
+        return np.asarray(scores)[: req["n"]], boxes
 
     # ------------------------------------------------------------------ #
     def _pad_to_bucket(self, im, boxes, masks):
@@ -164,6 +280,8 @@ class Evaluator:
     def im_detect_all(self, im, boxes, masks):
         """Full TTA per cfg.TEST.BBOX_AUG (reference im_detect_bbox_aug)."""
         cfg = self.cfg
+        if cfg.TPU.FUSED_TTA and self.fused_supported():
+            return self.im_detect_all_fused(im, boxes, masks)
         if not cfg.TEST.BBOX_AUG.ENABLED:
             return self.im_detect_bbox(
                 im, boxes, masks, cfg.TEST.SCALE, cfg.TEST.MAX_SIZE
@@ -271,6 +389,7 @@ class BatchedEvaluator(Evaluator):
         self._apply_batched = jax.jit(
             jax.vmap(self._forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
         )
+        self._apply_fused_b = None  # built on first fused-batched call
 
     def _batched_supported(self):
         aug = self.cfg.TEST.BBOX_AUG
@@ -301,12 +420,57 @@ class BatchedEvaluator(Evaluator):
             (idx, scores[i][: group[i][1]["n"]]) for i, (idx, _) in enumerate(group)
         ]
 
+    def _fused_batched_many(self, items):
+        """Fused TTA x image batching: whole images grouped by
+        (original-image bucket, proposal pad), each stack of batch_size
+        runs ONE vmapped all-passes program."""
+        if self._apply_fused_b is None:
+            self._apply_fused_b = jax.jit(
+                jax.vmap(self._fused_forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
+            )
+        out = [None] * len(items)
+        groups: dict = {}
+
+        def flush(group):
+            b = self.batch_size
+            reqs = [r for _, r in group]
+            while len(reqs) < b:
+                reqs.append(reqs[-1])
+            stacked = {
+                k: jnp.asarray(np.stack([r[k] for r in reqs]))
+                for k in ("image", "rois", "masks", "valid")
+            }
+            im_h = jnp.asarray([r["im_h"] for r in reqs], jnp.int32)
+            im_w = jnp.asarray([r["im_w"] for r in reqs], jnp.int32)
+            scores = np.asarray(
+                self._apply_fused_b(
+                    self.variables, stacked["image"], stacked["rois"],
+                    stacked["masks"], stacked["valid"], im_h, im_w,
+                )
+            )
+            for i, (idx, req) in enumerate(group):
+                out[idx] = scores[i][: req["n"]]
+
+        for idx, (im, boxes, masks) in enumerate(items):
+            req = self._prepare_raw(im, boxes, masks)
+            key = (req["image"].shape, req["rois"].shape[0])
+            groups.setdefault(key, []).append((idx, req))
+            if len(groups[key]) == self.batch_size:
+                flush(groups.pop(key))
+        for group in groups.values():
+            flush(group)
+        return [
+            (out[i], items[i][1]) for i in range(len(items))
+        ]
+
     def im_detect_all_many(self, items, window: int | None = None):
         """items: list of (im, boxes, masks). Returns [(scores, boxes)]
         in order. Passes of up to `window` images are batched together
         (window defaults to 4 x batch_size)."""
         if not self._batched_supported():
             return [self.im_detect_all(im, b, m) for im, b, m in items]
+        if self.cfg.TPU.FUSED_TTA and self.fused_supported():
+            return self._fused_batched_many(items)
         window = window or 4 * self.batch_size
         out_sum = [None] * len(items)
         out_cnt = [0] * len(items)

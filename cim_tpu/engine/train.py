@@ -104,6 +104,15 @@ def compute_losses(cfg, out, batch, rng) -> Dict[str, jax.Array]:
         losses["iou_loss"] = losses["iou_loss"] + gate * 3.0 * i_l
         losses["bag_loss"] = losses["bag_loss"] + gate * b_l
 
+        # mining health metrics (no reference counterpart — its convergence
+        # failures surface here first): mined-GT count, fg fraction of the
+        # valid proposals, branch-found-anything rate
+        n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        fg = jnp.sum(pl[:, 1:]) / n_valid
+        losses[f"mined_gt_{k}"] = pseudo.gt_count.astype(jnp.float32)
+        losses[f"fg_frac_{k}"] = fg
+        losses[f"has_gt_{k}"] = gate
+
     return losses
 
 
@@ -119,7 +128,12 @@ def make_loss_fn(cfg, model, stats):
             im_hw=None if im_hw is None else (im_hw[0], im_hw[1]),
         )
         losses = compute_losses(cfg, out, batch, rng)
-        total = sum(losses.values())
+        # only the four losses sum into the objective; mined_gt_/fg_frac_/
+        # has_gt_ entries are observability metrics
+        total = (
+            losses["bag_loss"] + losses["pcl_loss"]
+            + losses["cls_loss"] + losses["iou_loss"]
+        )
         losses["total_loss"] = total
         return total, losses
 
@@ -204,10 +218,11 @@ class Trainer:
             # varying zero: scan carries must inherit the batch's vma
             vz = jnp.sum(batch["labels"]) * 0.0
             zeros_g = jax.tree.map(lambda p: jnp.zeros_like(p) + vz, state.params)
-            zeros_l = {
-                k: jnp.zeros(()) + vz
-                for k in ("bag_loss", "pcl_loss", "cls_loss", "iou_loss", "total_loss")
-            }
+            metric_keys = ["bag_loss", "pcl_loss", "cls_loss", "iou_loss",
+                           "total_loss"]
+            for k in range(cfg.REFINE_TIMES):
+                metric_keys += [f"mined_gt_{k}", f"fg_frac_{k}", f"has_gt_{k}"]
+            zeros_l = {k: jnp.zeros(()) + vz for k in metric_keys}
             (grads, losses), _ = jax.lax.scan(
                 micro, (zeros_g, zeros_l), (batch, keys)
             )

@@ -67,6 +67,7 @@ class PseudoLabels(NamedTuple):
     pseudo_iou_labels: jax.Array  # (N,)
     loss_weights: jax.Array  # (N,)
     has_gt: jax.Array  # () bool — mirrors the reference's None return
+    gt_count: jax.Array  # () int32 — mined pseudo-GT rows (health metric)
 
 
 def seed_count(p_seed: float, n_valid):
@@ -295,7 +296,8 @@ def assign_pseudo_labels(
     pseudo_iou = pseudo_iou * valid
 
     has_gt = jnp.any(mined.gt_mask)
-    return PseudoLabels(pseudo_labels, pseudo_iou, loss_weights, has_gt)
+    gt_count = jnp.sum(mined.gt_mask).astype(jnp.int32)
+    return PseudoLabels(pseudo_labels, pseudo_iou, loss_weights, has_gt, gt_count)
 
 
 def cim_layer(

@@ -359,6 +359,30 @@ def convert_prm_checkpoint(sd, num_classes=20):
     return {"params": params, "stats": stats}
 
 
+def load_detectron_pkl(path_or_blobs, conv_body="resnet50", refine_times=3):
+    """Detectron-pkl checkpoint -> CIMModel variables.
+
+    Reference contract: lib/utils/detectron_weight_helper.py:9-21 loads a
+    pickle ({'blobs': {name: ndarray}} or a bare dict) and copies blobs
+    into the torch state dict through ``detectron_weight_mapping`` — which
+    every CIM module defines as the IDENTITY map (resnet50.py:79-85,
+    MaskFuse :112-118, heads :185-191), so blobs are keyed by the torch
+    parameter names. Accepted by ref tools/train.py:338-340
+    (--load_detectron)."""
+    if isinstance(path_or_blobs, (str, bytes)) or hasattr(
+        path_or_blobs, "__fspath__"
+    ):
+        import pickle
+
+        with open(path_or_blobs, "rb") as f:
+            blobs = pickle.load(f, encoding="latin1")
+    else:
+        blobs = path_or_blobs
+    if "blobs" in blobs:
+        blobs = blobs["blobs"]
+    return convert_reference_checkpoint(blobs, conv_body, refine_times)
+
+
 def convert_reference_checkpoint(sd, conv_body="resnet50", refine_times=3):
     """Full reference CIM checkpoint (model key of model_step*.pth) ->
     {'params': ..., 'stats': ...} for CIMModel.

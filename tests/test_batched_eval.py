@@ -14,12 +14,13 @@ from cim_tpu.models.builder import build_model
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
-def _cfg():
+def _cfg(fused=False):
     import cim_tpu.models.tiny  # noqa: F401
 
     cfg = clone_cfg(load_cfg(os.path.join(CONFIG_DIR, "resnet50_voc.yaml")))
     cfg.MODEL.CONV_BODY = "tiny.conv_body"
     cfg.TPU.PRECISION = "f32"
+    cfg.TPU.FUSED_TTA = fused
     cfg.TEST.SCALE = 96
     cfg.TEST.BBOX_AUG.ENABLED = True
     cfg.TEST.BBOX_AUG.SCALES = (128,)
@@ -84,3 +85,67 @@ def test_batched_falls_back_on_unsupported_heur(rng):
     for (gs, gb), (ws, wb) in zip(got, want):
         np.testing.assert_allclose(gs, ws, rtol=1e-6, atol=1e-8)
         np.testing.assert_array_equal(gb, wb)
+
+
+def test_fused_tta_matches_per_pass(rng):
+    """Device-side fused TTA (one program, on-device resize/flip) vs the
+    host per-pass path. Differences come only from cv2-vs-XLA bilinear
+    round-off (< 0.01 of a pixel LSB pre-truncation), so scores agree
+    tightly."""
+    cfg = _cfg(fused=False)
+    model = build_model(cfg)
+    items = _items(rng, 3)
+    im0, b0, m0 = items[0]
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((96, 128, 3), np.float32),
+        b0, m0, np.ones(len(b0), bool),
+    )
+    seq = Evaluator(cfg, model, variables)
+    want = [seq.im_detect_all(im, b, m) for im, b, m in items]
+
+    cfg_f = _cfg(fused=True)
+    fz = Evaluator(cfg_f, model, variables)
+    assert fz.fused_supported()
+    got = [fz.im_detect_all(im, b, m) for im, b, m in items]
+
+    for (gs, gb), (ws, wb) in zip(got, want):
+        np.testing.assert_array_equal(gb, wb)
+        assert gs.shape == ws.shape
+        np.testing.assert_allclose(gs, ws, rtol=5e-3, atol=5e-4)
+        # scores correlate essentially perfectly
+        c = np.corrcoef(gs.ravel(), ws.ravel())[0, 1]
+        assert c > 0.9999
+
+
+def test_fused_batched_matches_fused_single(rng):
+    cfg = _cfg(fused=True)
+    model = build_model(cfg)
+    items = _items(rng, 5)
+    im0, b0, m0 = items[0]
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((96, 128, 3), np.float32),
+        b0, m0, np.ones(len(b0), bool),
+    )
+    single = Evaluator(cfg, model, variables)
+    want = [single.im_detect_all(im, b, m) for im, b, m in items]
+    bat = BatchedEvaluator(cfg, model, variables, 2)
+    got = bat.im_detect_all_many(items)
+    for (gs, gb), (ws, wb) in zip(got, want):
+        np.testing.assert_array_equal(gb, wb)
+        np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_falls_back_on_aspect_ratio_tta(rng):
+    cfg = _cfg(fused=True)
+    cfg.TEST.BBOX_AUG.ASPECT_RATIOS = (0.75,)
+    model = build_model(cfg)
+    items = _items(rng, 1)
+    im0, b0, m0 = items[0]
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((96, 128, 3), np.float32),
+        b0, m0, np.ones(len(b0), bool),
+    )
+    ev = Evaluator(cfg, model, variables)
+    assert not ev.fused_supported()
+    s, b = ev.im_detect_all(im0, b0, m0)  # per-pass path incl. AR passes
+    assert np.isfinite(s).all()

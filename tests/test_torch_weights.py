@@ -121,3 +121,30 @@ def test_vgg_conversion_keys(rng):
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     )
     jax.tree.map(_assert_same_shape, ref["params"], params)
+
+
+def test_load_detectron_pkl_roundtrip(rng, tmp_path):
+    """Detectron-pkl path (reference detectron_weight_helper.py:9-21 with
+    the identity detectron_weight_mapping): a {'blobs': {torch-name:
+    ndarray}} pickle loads into the same tree as the torch state_dict
+    converter."""
+    import pickle
+
+    from tests.oracle_model import TorchCIMOracle
+
+    import torch
+
+    torch.manual_seed(1)
+    oracle = TorchCIMOracle(num_classes=20, refine_times=3)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+
+    pkl = tmp_path / "detectron.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"blobs": sd}, f)
+
+    got = tw.load_detectron_pkl(str(pkl), conv_body="resnet50", refine_times=3)
+    want = tw.convert_reference_checkpoint(sd, "resnet50", refine_times=3)
+    jax.tree.map(np.testing.assert_array_equal, got, want)
+    # spot-check a transpose actually happened (OIHW -> HWIO)
+    k = got["params"]["conv_body"]["res1_conv"]["conv"]["kernel"]
+    assert k.shape == (7, 7, 3, 64)

@@ -42,6 +42,9 @@ def parse_args():
     parser.add_argument("--disp_interval", type=int, default=20)
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--load_ckpt", default=None)
+    parser.add_argument("--load_detectron", default=None,
+                        help="Detectron-pkl weight file (reference "
+                        "tools/train.py:338-340)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--no_save", action="store_true")
     parser.add_argument("--use_tfboard", action="store_true")
@@ -179,6 +182,21 @@ def main():
                 step=np.asarray(args.start_step, np.int32)
             )
         logger.info("Loaded checkpoint; starting at step %d", int(trainer.state.step))
+    elif args.load_detectron:
+        from cim_tpu.utils.torch_weights import load_detectron_pkl
+
+        body = "vgg16" if cfg.MODEL.CONV_BODY.startswith("vgg") else "resnet50"
+        variables = load_detectron_pkl(
+            args.load_detectron, conv_body=body, refine_times=cfg.REFINE_TIMES
+        )
+        import jax.numpy as jnp
+
+        trainer.state = trainer.state._replace(
+            params=jax.tree.map(jnp.asarray, variables["params"])
+        )
+        if variables.get("stats"):
+            trainer.stats = jax.tree.map(jnp.asarray, variables["stats"])
+        logger.info("Loaded Detectron pkl weights from %s", args.load_detectron)
 
     if not args.no_save:
         os.makedirs(output_dir, exist_ok=True)
