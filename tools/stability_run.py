@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""N-step training stability run at production shape on one TPU chip.
+
+Repeats the README's stability experiment: the full resnet50_voc train
+step (grad_accum 4) on synthetic data at the 2048-proposal bucket,
+fresh synthetic batch every step, printing the smoothed losses. Passes
+if every loss stays finite and total_loss decreases start -> end.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--n_props", type=int, default=2000)
+    ap.add_argument("--disp", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    from cim_tpu.config import clone_cfg, load_cfg
+    from cim_tpu.data.loader import proposal_bucket
+    from cim_tpu.data.synthetic import make_microbatch, make_train_batch
+    from cim_tpu.engine.train import Trainer
+
+    cfg = clone_cfg(
+        load_cfg(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "configs", "resnet50_voc.yaml",
+            )
+        )
+    )
+    cfg.TPU.DATA_PARALLEL = 1
+    cfg.TPU.PALLAS_ROI_ALIGN = True
+    cfg.TPU.REMAT_BOX_HEAD = False
+    accum = cfg.TPU.GRAD_ACCUM
+
+    rng = np.random.RandomState(0)
+    kw = dict(
+        image_hw=(384, 512),
+        n_props=proposal_bucket(cfg, args.n_props),
+        n_valid=args.n_props,
+        num_classes=cfg.MODEL.NUM_CLASSES,
+    )
+    sample = make_microbatch(rng, **kw)
+    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+
+    first = last = None
+    t0 = time.time()
+    for i in range(args.steps):
+        batch = make_train_batch(rng, 1, accum, **kw)
+        m = trainer.step(batch, jax.random.PRNGKey(100 + i))
+        total = float(m["total_loss"])
+        assert np.isfinite(total), f"step {i}: non-finite total_loss"
+        if first is None:
+            first = total
+        last = total
+        if i % args.disp == 0 or i == args.steps - 1:
+            parts = " ".join(
+                f"{k}={float(v):.4f}"
+                for k, v in sorted(m.items())
+                if k.endswith("loss")
+            )
+            print(f"step {i:4d} {parts}", flush=True)
+    dt = time.time() - t0
+    print(
+        f"stability OK: {args.steps} steps, total_loss {first:.4f} -> "
+        f"{last:.4f}, {args.steps * accum / dt:.2f} img/s (incl. host "
+        f"batch synthesis + transfer)",
+        flush=True,
+    )
+    assert last < first, "total_loss did not decrease"
+
+
+if __name__ == "__main__":
+    main()
