@@ -238,3 +238,236 @@ def oracle_loss_assembly(
     losses["bag_loss"] += oracle_cim.mil_bag_loss(predict_cls, predict_det, labels)
     losses["pcl_loss"] += oracle_cim.pcl_loss(predict_cls, mat, labels)
     return losses
+
+
+# --------------------------------------------------------------------- #
+# Differentiable pieces for end-to-end GRADIENT parity
+# --------------------------------------------------------------------- #
+
+
+class TorchRoIAlignDiff:
+    """Differentiable torch RoIAlign with the same mmcv aligned=True
+    semantics as tests/oracles.py:roi_align_oracle. The sampling grid and
+    bilinear weights are computed in numpy from the (constant) rois and
+    applied to the feature map with one index_add, so torch autograd
+    propagates the exact bilinear-scatter gradient to the features —
+    matching the reference CUDA backward
+    (lib/modeling/roi_xfrom/roi_align/src/roi_align_kernel.cu)."""
+
+    def __init__(self, output_size, spatial_scale, sampling_ratio=0,
+                 aligned=True, grid_cap=None):
+        self.output_size = output_size
+        self.spatial_scale = spatial_scale
+        self.sampling_ratio = sampling_ratio
+        self.aligned = aligned
+        self.grid_cap = grid_cap
+
+    def __call__(self, feat_nchw, rois_t):
+        import math
+
+        feat = feat_nchw[0].permute(1, 2, 0)  # (H, W, C), keeps grad
+        h, w, c = feat.shape
+        rois = rois_t.detach().numpy()
+        n = rois.shape[0]
+        r = self.output_size
+        offset = 0.5 if self.aligned else 0.0
+
+        pix_idx, out_idx, wts = [], [], []
+
+        def add_point(i_out, y, x, scale):
+            if y < -1.0 or y > h or x < -1.0 or x > w:
+                return
+            y = max(y, 0.0)
+            x = max(x, 0.0)
+            y_low = int(math.floor(y))
+            x_low = int(math.floor(x))
+            if y_low >= h - 1:
+                y_high = y_low = h - 1
+                y = float(y_low)
+            else:
+                y_high = y_low + 1
+            if x_low >= w - 1:
+                x_high = x_low = w - 1
+                x = float(x_low)
+            else:
+                x_high = x_low + 1
+            ly, lx = y - y_low, x - x_low
+            hy, hx = 1.0 - ly, 1.0 - lx
+            for yy, xx, ww in (
+                (y_low, x_low, hy * hx), (y_low, x_high, hy * lx),
+                (y_high, x_low, ly * hx), (y_high, x_high, ly * lx),
+            ):
+                pix_idx.append(yy * w + xx)
+                out_idx.append(i_out)
+                wts.append(ww * scale)
+
+        for i in range(n):
+            x1 = rois[i, 0] * self.spatial_scale - offset
+            y1 = rois[i, 1] * self.spatial_scale - offset
+            x2 = rois[i, 2] * self.spatial_scale - offset
+            y2 = rois[i, 3] * self.spatial_scale - offset
+            roi_w, roi_h = x2 - x1, y2 - y1
+            if not self.aligned:
+                roi_w, roi_h = max(roi_w, 1.0), max(roi_h, 1.0)
+            bin_w, bin_h = roi_w / r, roi_h / r
+            sr = self.sampling_ratio
+            gh = sr if sr > 0 else max(int(math.ceil(roi_h / r)), 1)
+            gw = sr if sr > 0 else max(int(math.ceil(roi_w / r)), 1)
+            if self.grid_cap is not None:
+                gh, gw = min(gh, self.grid_cap), min(gw, self.grid_cap)
+            scale = 1.0 / (gh * gw)
+            for ph in range(r):
+                for pw in range(r):
+                    i_out = (i * r + ph) * r + pw
+                    for iy in range(gh):
+                        yy = y1 + ph * bin_h + (iy + 0.5) * bin_h / gh
+                        for ix in range(gw):
+                            xx = x1 + pw * bin_w + (ix + 0.5) * bin_w / gw
+                            add_point(i_out, yy, xx, scale)
+
+        flat = feat.reshape(-1, c)
+        vals = flat[torch.tensor(pix_idx, dtype=torch.long)] * torch.tensor(
+            wts, dtype=feat.dtype
+        ).unsqueeze(1)
+        out = torch.zeros(n * r * r, c, dtype=feat.dtype)
+        out = out.index_add(0, torch.tensor(out_idx, dtype=torch.long), vals)
+        return out.reshape(n, r, r, c).permute(0, 3, 1, 2)
+
+
+def oracle_forward_grad(oracle, image_chw, rois, masks):
+    """TorchCIMOracle.forward without no_grad (for backward parity).
+    Swap oracle.Box_Head.roi_align to TorchRoIAlignDiff first."""
+    feat = oracle.Conv_Body(image_chw.unsqueeze(0))
+    seg_x = oracle.Box_Head(feat, rois, masks)
+    return oracle.cls_iou_model(seg_x)
+
+
+# Torch twins of the reference losses (heads.py:10-166), differentiable.
+# Discrete mining outputs (pseudo labels / weights) enter as numpy
+# constants — they are behind stop_gradient on the JAX side too.
+
+
+def t_mil_bag_loss(p_cls, p_det, labels_t):
+    pred = (p_cls * p_det).sum(0, keepdim=True).clamp(1e-6, 1 - 1e-6)
+    lab = torch.cat([torch.ones(1, 1), labels_t[None, :]], 1)
+    return -(lab * pred.log() + (1 - lab) * (1 - pred).log()).mean()
+
+
+def t_loss_weight_bag_loss(predict, pseudo_labels, label_tmp, loss_weight):
+    ind = torch.from_numpy(
+        (((pseudo_labels != 0).sum(-1)) != 0).astype(np.float32)
+    )
+    tmp = torch.from_numpy((pseudo_labels != 0).astype(np.float32))
+    fg_scores = ind[:, None] * predict * tmp
+    fg_val, fg_idx = fg_scores.max(0)
+    un_val, un_idx = predict.max(0)
+    agg = (fg_val * label_tmp + un_val * (1 - label_tmp)).clamp(1e-6, 1 - 1e-6)
+    flag = label_tmp == 1
+    agg_idx = torch.where(flag, fg_idx, un_idx)
+    w = torch.from_numpy(loss_weight.astype(np.float32))[agg_idx].clone()
+    w[~flag] = 1.0
+    loss = -(label_tmp * agg.log() + (1 - label_tmp) * (1 - agg).log()) * w
+    return loss.mean()
+
+
+def t_cls_iou_loss(cls_score, iou_score, pseudo_labels, pseudo_iou_labels,
+                   loss_weights, labels_t):
+    cls_score = cls_score.clamp(1e-6, 1 - 1e-6)
+    iou_score = iou_score.clamp(1e-6, 1 - 1e-6)
+    label_tmp = torch.cat([torch.ones(1), labels_t])
+    bag = t_loss_weight_bag_loss(
+        cls_score * iou_score, pseudo_labels, label_tmp, loss_weights
+    )
+    cls_l = torch.zeros(())
+    iou_l = torch.zeros(())
+    ind_np = ((pseudo_labels != 0).sum(-1)) != 0
+    if ind_np.sum() != 0:
+        sel = torch.from_numpy(ind_np)
+        pl = torch.from_numpy((pseudo_labels[ind_np] != 0).astype(np.float32))
+        pil = torch.from_numpy(pseudo_iou_labels[ind_np].astype(np.float32))
+        cs, isc = cls_score[sel], iou_score[sel]
+        lw = torch.from_numpy(loss_weights[ind_np].astype(np.float32))
+        cls_l = (-pl * cs.log() * lw[:, None]).sum() / pl.sum()
+        fg_np = ((pseudo_labels[ind_np][:, 1:] != 0).sum(-1)) != 0
+        if fg_np.sum() != 0:
+            fsel = torch.from_numpy(fg_np)
+            fpl, fpil = pl[fsel], pil[fsel]
+            fisc, flw = isc[fsel], lw[fsel]
+            fisc = (fpl * fisc).sum(-1)
+            d = (fisc - fpil).abs()
+            sl1 = torch.where(d < 1, 0.5 * d * d, d - 0.5)
+            iou_l = (sl1 * flw).sum() / fpl.sum()
+    return cls_l, iou_l, bag
+
+
+def t_pcl_loss(p_cls, mat, labels_t):
+    pred = p_cls.clamp(1e-6, 1 - 1e-6)
+    bg_cands = np.setdiff1d(mat[:, 0], [0])
+    bg_ind = 10000 if len(bg_cands) == 0 else bg_cands[0]
+    loss = torch.zeros(())
+    fg_bg = 1e-6
+
+    def mil(p, t):
+        p = p.clamp(1e-6, 1 - 1e-6)
+        return (-t * p.log() - (1 - t) * (1 - p).log()).mean()
+
+    for cid in np.unique(mat):
+        if cid != 0 and cid != bg_ind:
+            tf = mat == cid
+            rows = torch.from_numpy(tf.sum(1) != 0)
+            col = torch.from_numpy((tf.sum(0) != 0).astype(np.float32))
+            sub = pred[rows]
+            fg_bg += sub.shape[0]
+            loss = loss + sub.shape[0] * mil(sub.mean(0), col)
+        elif cid == bg_ind:
+            tf = mat == cid
+            rows = torch.from_numpy(tf.sum(1) != 0)
+            sub = pred[rows]
+            gt = torch.from_numpy((mat[tf.sum(1) != 0] != 0).astype(np.float32))
+            fg_bg += sub.shape[0]
+            loss = loss + sub.shape[0] * mil(sub, gt)
+    return 12 * loss / fg_bg
+
+
+def torch_loss_assembly_grad(
+    p_cls, p_det, r_cls, r_iou, labels, mat, iou_map, asy_iou_map,
+    p_seed=0.1, step_rate=0.0, con_thr=0.85,
+):
+    """Differentiable twin of oracle_loss_assembly: same reference loss
+    wiring (model_builder.py:161-207), torch scalars out. Mining runs in
+    numpy on detached scores (stop_gradient on the JAX side)."""
+    labels_t = torch.from_numpy(labels.astype(np.float32))
+    c = labels.shape[0]
+    losses = {
+        "bag_loss": torch.zeros(()), "pcl_loss": torch.zeros(()),
+        "cls_loss": torch.zeros(()), "iou_loss": torch.zeros(()),
+    }
+    for k, (cls_score, iou_score) in enumerate(zip(r_cls, r_iou)):
+        lmda = 3.0 if k == 0 else 1.0
+        src_cls, src_det = (
+            (p_cls, p_det) if k == 0 else (r_cls[k - 1], r_iou[k - 1])
+        )
+        sc = src_cls.detach().numpy()
+        sd = src_det.detach().numpy()
+        sc = sc[:, 1:] if sc.shape[-1] == c + 1 else sc
+        sd = sd[:, 1:] if sd.shape[-1] == c + 1 else sd
+        cls_thr = 0.25 + step_rate * k
+        iou_thr = 0.5 + step_rate * k
+        gt_labels, gt_weights, gt_idxs, asy_flag = oracle_cim.cim_label(
+            sc, sd, labels, iou_map, asy_iou_map, p_seed, cls_thr, con_thr
+        )
+        pseudo_labels, pseudo_iou, loss_weights = oracle_cim.assign_forward(
+            gt_labels, gt_weights, gt_idxs, asy_flag, iou_map, cls_thr, iou_thr
+        )
+        if pseudo_labels is None:
+            continue
+        cls_l, iou_l, bag_l = t_cls_iou_loss(
+            cls_score, iou_score, pseudo_labels, pseudo_iou,
+            lmda * loss_weights, labels_t,
+        )
+        losses["cls_loss"] = losses["cls_loss"] + cls_l
+        losses["iou_loss"] = losses["iou_loss"] + 3.0 * iou_l
+        losses["bag_loss"] = losses["bag_loss"] + bag_l
+    losses["bag_loss"] = losses["bag_loss"] + t_mil_bag_loss(p_cls, p_det, labels_t)
+    losses["pcl_loss"] = losses["pcl_loss"] + t_pcl_loss(p_cls, mat, labels_t)
+    return losses
