@@ -185,6 +185,12 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
         self.loss_fn = make_loss_fn(cfg, self.model, self.stats)
+        # multi-host: the mesh spans other processes' devices; step()
+        # assembles each host's local batch rows into global arrays
+        pi = jax.process_index()
+        self._multiprocess = any(
+            d.process_index != pi for d in self.mesh.devices.flat
+        )
         self._step = self._build_step()
 
     # ------------------------------------------------------------------ #
@@ -261,6 +267,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def step(self, batch, rng):
-        """batch leaves: (n_devices, grad_accum, ...)."""
+        """batch leaves: (n_devices, grad_accum, ...) — local devices on a
+        multi-host mesh (see parallel.global_batch); rng must be identical
+        on every host (derive it from the step counter)."""
+        if self._multiprocess:
+            from cim_tpu import parallel
+
+            batch = parallel.global_batch(self.mesh, batch)
         self.state, metrics = self._step(self.state, batch, rng)
         return metrics

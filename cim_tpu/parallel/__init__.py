@@ -52,3 +52,54 @@ def merge_sharded_results(results_per_shard: list) -> dict:
     for shard in results_per_shard:
         merged.update(shard)
     return merged
+
+
+# ---------------------------- multi-host ------------------------------- #
+# The reference is strictly single-host (SURVEY §2.3: DataParallel over
+# torch.cuda.comm). Multi-host data parallelism here is the natural SPMD
+# extension: jax.distributed.initialize() on every host, ONE global mesh
+# over all processes' devices, each host feeding only its addressable
+# "dp" rows (assembled into global arrays below). Gradients pmean over
+# the same axis — ICI within a slice, DCN across slices — with no
+# code change in the train step.
+
+
+def global_data_parallel_mesh() -> Mesh:
+    """1-D data-parallel mesh over ALL processes' devices. Call
+    jax.distributed.initialize() on every host before any backend use."""
+    return Mesh(np.array(jax.devices()), axis_names=("dp",))
+
+
+def is_multiprocess(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def local_device_count(mesh: Mesh) -> int:
+    """Rows of the global (dp, accum, ...) batch this process must feed."""
+    pi = jax.process_index()
+    return sum(d.process_index == pi for d in mesh.devices.flat)
+
+
+def host_shard_roidb(roidb, process_index: int | None = None,
+                     process_count: int | None = None):
+    """Disjoint per-host roidb shard (strided, preserving the aspect
+    grouping of roidb.rank_for_training). Each host's loader permutes and
+    buckets only its own shard — the multi-host analog of the reference's
+    per-GPU minibatch lists (lib/nn/parallel/data_parallel.py:78-87)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return roidb[pi::pc]
+
+
+def global_batch(mesh: Mesh, local_batch):
+    """Assemble this host's (local_devices, accum, ...) numpy batch into
+    global jax.Arrays sharded (dp, ...) over `mesh`. Identity on a
+    single-process mesh."""
+    if not is_multiprocess(mesh):
+        return local_batch
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch,
+    )

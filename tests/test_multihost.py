@@ -1,0 +1,53 @@
+"""Multi-host data-parallel plumbing (single-process checkable parts).
+
+The multi-host design (cim_tpu/parallel): one global Mesh over all
+processes' devices, each host feeds its addressable dp rows
+(global_batch), trains on a disjoint roidb shard (host_shard_roidb).
+With process_count == 1 every helper must degrade to the single-host
+behavior the rest of the suite pins.
+"""
+import jax
+import numpy as np
+
+from cim_tpu import parallel
+
+
+def test_host_shard_roidb_disjoint_and_covering():
+    roidb = [{"id": i} for i in range(11)]
+    shards = [parallel.host_shard_roidb(roidb, pi, 4) for pi in range(4)]
+    ids = [e["id"] for s in shards for e in s]
+    assert sorted(ids) == list(range(11))
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_host_shard_roidb_single_process_identity():
+    roidb = [{"id": i} for i in range(5)]
+    assert parallel.host_shard_roidb(roidb, 0, 1) == roidb
+
+
+def test_global_batch_identity_on_single_process_mesh():
+    mesh = parallel.data_parallel_mesh()
+    assert not parallel.is_multiprocess(mesh)
+    assert parallel.local_device_count(mesh) == mesh.size
+    batch = {"x": np.arange(mesh.size * 2, dtype=np.float32).reshape(mesh.size, 2)}
+    out = parallel.global_batch(mesh, batch)
+    assert out is batch  # identity, no copies
+
+
+def test_trainer_detects_single_process_mesh():
+    import cim_tpu.models.tiny  # noqa: F401
+    from cim_tpu.config import clone_cfg, get_default_cfg
+    from cim_tpu.data.synthetic import make_microbatch
+    from cim_tpu.engine.train import Trainer
+
+    cfg = clone_cfg(get_default_cfg())
+    cfg.MODEL.CONV_BODY = "tiny.conv_body"
+    cfg.TPU.PROPOSAL_PAD = 32
+    cfg.TPU.GRAD_ACCUM = 1
+    cfg.TPU.DATA_PARALLEL = 2
+    cfg.TPU.PRECISION = "f32"
+    rng = np.random.RandomState(0)
+    sample = make_microbatch(rng, image_hw=(32, 32), n_props=32, n_valid=16)
+    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+    assert trainer._multiprocess is False

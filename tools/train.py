@@ -52,6 +52,10 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=3)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic fixtures (no data on disk)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host SPMD: jax.distributed.initialize()"
+                             " + one global dp mesh; launch one process per"
+                             " host (each loads its own roidb shard)")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of steps 5-10")
     parser.add_argument("--debug", action="store_true")
@@ -84,8 +88,14 @@ def main():
 
     import jax
 
+    if args.multihost:
+        jax.distributed.initialize()
+
+    # n_devices counts the GLOBAL dp extent (all hosts); n_local is what
+    # this process feeds per step
     n_devices = cfg.TPU.DATA_PARALLEL or len(jax.devices())
     cfg.TPU.DATA_PARALLEL = n_devices
+    n_local = jax.local_device_count() if args.multihost else n_devices
 
     # ---- adaptive batch/LR/step rescaling (reference train.py:184-221) --- #
     original_batch_size = cfg.NUM_GPUS * cfg.TRAIN.IMS_PER_BATCH
@@ -129,7 +139,7 @@ def main():
 
         def batches():
             while True:
-                yield make_train_batch(rng, n_devices, args.iter_size, **kw)
+                yield make_train_batch(rng, n_local, args.iter_size, **kw)
 
         loader_iter = batches()
     else:
@@ -137,8 +147,12 @@ def main():
         from cim_tpu.data.roidb import combined_roidb_for_training
 
         roidb, _, _ = combined_roidb_for_training(cfg)
+        if args.multihost:
+            from cim_tpu.parallel import host_shard_roidb
+
+            roidb = host_shard_roidb(roidb)
         loader = TrainLoader(
-            cfg, roidb, n_devices, args.iter_size, seed=args.seed,
+            cfg, roidb, n_local, args.iter_size, seed=args.seed,
             prefetch=cfg.DATA_LOADER.PREFETCH,
         )
         entry0 = roidb[0]
