@@ -217,12 +217,21 @@ def mist_mine(preds, labels, iou_map, valid, params: MiningParams) -> MinedGT:
     return MinedGT(gt_labels, gt_weights, gt_mask, jnp.ones((n,), bool) & valid)
 
 
-def anti_noise_resample(mined: MinedGT, labels, rng_key) -> MinedGT:
+def anti_noise_resample(
+    mined: MinedGT, labels, rng_key, max_draws: int | None = None
+) -> MinedGT:
     """Anti-noise sampling (reference heads.py:437-474): per class, draw
     n_c samples with replacement over that class's mined GT, weighted by
-    gt_weights; survivors are the union of draws."""
+    gt_weights; survivors are the union of draws.
+
+    max_draws: static bound on n_c (the per-class mined-GT count). Mined
+    rows are chosen per seed column, so n_c <= the seed count K — callers
+    pass max_seeds(p_seed, n), shrinking the sampled/sorted arrays ~10x
+    (the full-N formulation was >10% of the train step on TPU). Defaults
+    to n (always safe)."""
     n, c1 = mined.gt_labels.shape
     c = c1 - 1
+    k_draw = n if max_draws is None else min(int(max_draws), n)
 
     def sample_one(key, member, weights):
         n_c = jnp.sum(member.astype(jnp.int32))
@@ -240,10 +249,18 @@ def anti_noise_resample(mined: MinedGT, labels, rng_key) -> MinedGT:
             / jnp.maximum(jnp.sum(member.astype(weights.dtype)), 1.0),
         )
         cdf = jnp.cumsum(p)
-        u = jax.random.uniform(key, (n,))
-        draws = jnp.clip(jnp.searchsorted(cdf, u), 0, n - 1)
-        t_ok = jnp.arange(n) < n_c
-        return jnp.zeros((n,), bool).at[draws].max(t_ok)
+        u = jax.random.uniform(key, (k_draw,))
+        # draw t hits index i iff cdf[i-1] < u_t <= cdf[i] (CDF inversion,
+        # searchsorted side='left'). "Is index i hit by any of the first
+        # n_c draws" is a COUNT difference over the sorted draws — no
+        # scatter (the N-update scatter x C classes formulation cost
+        # ~16 ms/branch-set on TPU, >10% of the whole train step).
+        u_sorted = jnp.sort(jnp.where(jnp.arange(k_draw) < n_c, u, 2.0))
+        hits = jnp.searchsorted(u_sorted, cdf, side="right")  # #{u_t <= cdf[i]}
+        survive = jnp.diff(hits, prepend=0) > 0
+        # original clip(draws, 0, n-1): u beyond cdf[-1] lands on the last row
+        overflow = hits[n - 1] < n_c
+        return survive.at[n - 1].set(survive[n - 1] | overflow)
 
     keys = jax.random.split(rng_key, c)
     members = (mined.gt_labels[:, 1:] == 1).T & (labels > 0)[:, None]  # (C, N)
@@ -331,6 +348,11 @@ def cim_layer(
         mined = mist_mine(preds, labels, iou_map, valid, params)
 
     if params.anti_noise:
-        mined = anti_noise_resample(mined, labels, rng_key)
+        # mined rows per class are argmaxes of seed columns -> n_c is
+        # bounded by the static seed count
+        mined = anti_noise_resample(
+            mined, labels, rng_key,
+            max_draws=max_seeds(params.p_seed, predict_cls.shape[0]),
+        )
 
     return assign_pseudo_labels(mined, iou_map, valid, params)

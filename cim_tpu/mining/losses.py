@@ -141,9 +141,12 @@ def pcl_loss(predict_cls, mat, labels, valid, max_clusters: int = 64):
 
     mat: (N, C+1) integer cluster-assignment matrix from the offline label
     assigner (0 = unassigned; the background cluster id appears in column 0).
-    The reference iterates torch.unique(mat); here a static loop over
-    cluster ids 1..max_clusters with presence masks computes the identical
-    sum (absent ids contribute exactly zero).
+    The reference iterates torch.unique(mat); here ALL cluster ids
+    1..max_clusters are evaluated at once with presence masks (absent ids
+    contribute exactly zero) — the per-cluster reductions batch into two
+    matmuls over a (K, N) membership matrix instead of K sequential
+    fori_loop rounds, whose fixed per-round latency dominated the loss
+    time on TPU (the per-round tensors are only (N, C+1)).
     """
     del labels
     n, c1 = predict_cls.shape
@@ -158,32 +161,23 @@ def pcl_loss(predict_cls, mat, labels, valid, max_clusters: int = 64):
     gt_tmp = (mat != 0).astype(pred.dtype)
     row_bce = jnp.mean(_bce(pred, jnp.clip(gt_tmp, 0, 1)), axis=1)  # (N,)
 
-    def body(cid, carry):
-        total, fg_bg_num = carry
-        tf = mat == cid  # (N, C+1)
-        member = jnp.any(tf, axis=1) & valid  # (N,)
-        count = jnp.sum(member.astype(pred.dtype))
-        present = count > 0
-        is_bg = cid == bg_ind
+    cids = jnp.arange(1, max_clusters + 1, dtype=jnp.int32)  # (K,)
+    tf = mat[None, :, :] == cids[:, None, None]  # (K, N, C+1)
+    member = (jnp.any(tf, axis=2) & valid[None, :]).astype(pred.dtype)  # (K, N)
+    count = jnp.sum(member, axis=1)  # (K,)
+    present = count > 0
 
-        # foreground branch: mean prediction over members vs. cluster classes
-        col_ind = jnp.any(tf, axis=0).astype(pred.dtype)  # (C+1,)
-        mean_vec = jnp.sum(pred * member[:, None], axis=0) / jnp.maximum(
-            count, 1.0
-        )
-        fg_loss = count * jnp.mean(_bce(mean_vec, jnp.clip(col_ind, 0, 1)))
-
-        # background branch (== count * mean BCE over member rows)
-        bg_loss = jnp.sum(row_bce * member)
-
-        contrib = jnp.where(is_bg, bg_loss, fg_loss)
-        total = total + jnp.where(present, contrib, 0.0)
-        fg_bg_num = fg_bg_num + jnp.where(present, count, 0.0)
-        return total, fg_bg_num
-
-    init = (
-        jnp.zeros((), predict_cls.dtype) + jnp.sum(pred) * 0.0,
-        jnp.asarray(1e-6, predict_cls.dtype) + jnp.sum(pred) * 0.0,
+    # foreground branch: mean prediction over members vs. cluster classes
+    col_ind = jnp.any(tf, axis=1).astype(pred.dtype)  # (K, C+1)
+    mean_vec = (member @ pred) / jnp.maximum(count, 1.0)[:, None]  # (K, C+1)
+    fg_loss = count * jnp.mean(
+        _bce(mean_vec, jnp.clip(col_ind, 0, 1)), axis=1
     )
-    total, fg_bg_num = jax.lax.fori_loop(1, max_clusters + 1, body, init)
+
+    # background branch (== count * mean BCE over member rows)
+    bg_loss = member @ row_bce  # (K,)
+
+    contrib = jnp.where(cids == bg_ind, bg_loss, fg_loss)
+    total = jnp.sum(jnp.where(present, contrib, 0.0))
+    fg_bg_num = 1e-6 + jnp.sum(jnp.where(present, count, 0.0))
     return 12.0 * total / fg_bg_num
