@@ -252,11 +252,15 @@ def anti_noise_resample(
         u = jax.random.uniform(key, (k_draw,))
         # draw t hits index i iff cdf[i-1] < u_t <= cdf[i] (CDF inversion,
         # searchsorted side='left'). "Is index i hit by any of the first
-        # n_c draws" is a COUNT difference over the sorted draws — no
-        # scatter (the N-update scatter x C classes formulation cost
-        # ~16 ms/branch-set on TPU, >10% of the whole train step).
-        u_sorted = jnp.sort(jnp.where(jnp.arange(k_draw) < n_c, u, 2.0))
-        hits = jnp.searchsorted(u_sorted, cdf, side="right")  # #{u_t <= cdf[i]}
+        # n_c draws" is a COUNT difference: hits_i = #{t < n_c : u_t <=
+        # cdf_i} computed as one (N, K) compare+reduce on the VPU — no
+        # scatter (the N-update scatter x C classes cost ~16 ms/branch-set
+        # on TPU) and no sort/searchsorted (bitonic sorts + binary-search
+        # gathers cost ~10 ms/step at K=205).
+        masked_u = jnp.where(jnp.arange(k_draw) < n_c, u, 2.0)  # (K,)
+        hits = jnp.sum(
+            (masked_u[None, :] <= cdf[:, None]).astype(jnp.int32), axis=1
+        )  # (N,)
         survive = jnp.diff(hits, prepend=0) > 0
         # original clip(draws, 0, n-1): u beyond cdf[-1] lands on the last row
         overflow = hits[n - 1] < n_c
