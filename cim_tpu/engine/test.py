@@ -404,12 +404,11 @@ class BatchedEvaluator(Evaluator):
             aug.SCORE_HEUR == "AVG" and aug.COORD_HEUR == "ID"
         )
 
-    def _run_group(self, group):
-        """group: list of (image_idx, request). Pads to batch_size by
-        repeating the last request (masked out on scatter)."""
-        b = self.batch_size
+    def _stack_group(self, group):
+        """group: list of (image_idx, request) -> jit args, padded to
+        batch_size by repeating the last request (masked out on scatter)."""
         reqs = [r for _, r in group]
-        while len(reqs) < b:
+        while len(reqs) < self.batch_size:
             reqs.append(reqs[-1])
         stacked = {
             k: jnp.asarray(np.stack([r[k] for r in reqs]))
@@ -417,12 +416,13 @@ class BatchedEvaluator(Evaluator):
         }
         im_h = jnp.asarray([r["im_h"] for r in reqs], jnp.int32)
         im_w = jnp.asarray([r["im_w"] for r in reqs], jnp.int32)
-        scores = np.asarray(
-            self._apply_batched(
-                self.variables, stacked["image"], stacked["rois"],
-                stacked["masks"], stacked["valid"], im_h, im_w,
-            )
+        return (
+            self.variables, stacked["image"], stacked["rois"],
+            stacked["masks"], stacked["valid"], im_h, im_w,
         )
+
+    def _run_group(self, group):
+        scores = np.asarray(self._apply_batched(*self._stack_group(group)))
         return [
             (idx, scores[i][: group[i][1]["n"]]) for i, (idx, _) in enumerate(group)
         ]
@@ -439,22 +439,7 @@ class BatchedEvaluator(Evaluator):
         groups: dict = {}
 
         def flush(group):
-            b = self.batch_size
-            reqs = [r for _, r in group]
-            while len(reqs) < b:
-                reqs.append(reqs[-1])
-            stacked = {
-                k: jnp.asarray(np.stack([r[k] for r in reqs]))
-                for k in ("image", "rois", "masks", "valid")
-            }
-            im_h = jnp.asarray([r["im_h"] for r in reqs], jnp.int32)
-            im_w = jnp.asarray([r["im_w"] for r in reqs], jnp.int32)
-            scores = np.asarray(
-                self._apply_fused_b(
-                    self.variables, stacked["image"], stacked["rois"],
-                    stacked["masks"], stacked["valid"], im_h, im_w,
-                )
-            )
+            scores = np.asarray(self._apply_fused_b(*self._stack_group(group)))
             for i, (idx, req) in enumerate(group):
                 out[idx] = scores[i][: req["n"]]
 

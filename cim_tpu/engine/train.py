@@ -187,10 +187,20 @@ class Trainer:
         self.loss_fn = make_loss_fn(cfg, self.model, self.stats)
         # multi-host: the mesh spans other processes' devices; step()
         # assembles each host's local batch rows into global arrays
-        pi = jax.process_index()
-        self._multiprocess = any(
-            d.process_index != pi for d in self.mesh.devices.flat
-        )
+        from cim_tpu import parallel
+
+        self._multiprocess = parallel.is_multiprocess(self.mesh)
+        self._step = self._build_step()
+
+    def set_stats(self, stats):
+        """Replace the frozen-BN stats AND rebuild the compiled step.
+
+        loss_fn/_step close over the stats tree at construction; assigning
+        `trainer.stats` alone would leave the jitted step computing with
+        the init-time stats (mean 0 / var 1) while checkpoints save the
+        new ones — use this whenever loading external weights."""
+        self.stats = jax.tree.map(jnp.asarray, stats)
+        self.loss_fn = make_loss_fn(self.cfg, self.model, self.stats)
         self._step = self._build_step()
 
     # ------------------------------------------------------------------ #

@@ -204,7 +204,12 @@ def poly_to_rle(poly, h: int, w: int) -> dict:
 
 
 def merge(rles: list, intersect: bool = False) -> dict:
-    """Union (or intersection) of RLEs (pycocotools mask.merge)."""
+    """Union (or intersection) of RLEs (pycocotools mask.merge).
+
+    An empty list yields an empty (size [0, 0]) mask rather than raising —
+    some datasets carry annotations with ``"segmentation": []``."""
+    if not rles:
+        return encode(np.zeros((0, 0), np.uint8))
     if len(rles) == 1:
         return rles[0]
     m = decode(rles[0]).astype(bool)

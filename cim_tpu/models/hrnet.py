@@ -25,10 +25,6 @@ import jax.numpy as jnp
 from cim_tpu.models.layers import FrozenBatchNorm, TorchConv, mask_valid_hw
 
 
-def _mask_input(x, valid_hw):
-    return mask_valid_hw(x, valid_hw)
-
-
 def _conv_bn(x, features, kernel, stride, pad, dtype, name, relu=True):
     mod = TorchConv(
         features, (kernel, kernel), strides=(stride, stride), padding=pad,
@@ -188,7 +184,7 @@ class HRNetW48(nn.Module):
         # own padding regime; per-conv valid-extent masking (see
         # resnet/vgg) is deliberately NOT applied. Only the input image
         # pad is re-zeroed.
-        x = _mask_input(x, valid_hw)
+        x = mask_valid_hw(x, valid_hw)
         # pad to multiples of 32 (reference HRNet.py:500-513)
         hp = (-h) % 32
         wp = (-w) % 32

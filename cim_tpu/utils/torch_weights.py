@@ -411,6 +411,9 @@ def convert_reference_checkpoint(sd, conv_body="resnet50", refine_times=3):
     elif conv_body.startswith("vgg16"):
         body_params = convert_vgg16(body_sd)
         body_stats = {}
+    elif "hrnet" in conv_body:
+        hr = convert_hrnet_w48(body_sd)
+        body_params, body_stats = hr["params"], hr["stats"]
     else:
         raise NotImplementedError(conv_body)
 

@@ -95,7 +95,17 @@ def main():
     # this process feeds per step
     n_devices = cfg.TPU.DATA_PARALLEL or len(jax.devices())
     cfg.TPU.DATA_PARALLEL = n_devices
-    n_local = jax.local_device_count() if args.multihost else n_devices
+    if args.multihost:
+        # count THIS process's rows of the dp mesh — not
+        # jax.local_device_count(): TPU.DATA_PARALLEL may select a strict
+        # subset of the global devices (get_mesh takes jax.devices()[:n]),
+        # leaving some local devices outside the mesh
+        from cim_tpu import parallel
+        from cim_tpu.engine.train import get_mesh
+
+        n_local = parallel.local_device_count(get_mesh(cfg))
+    else:
+        n_local = n_devices
 
     # ---- adaptive batch/LR/step rescaling (reference train.py:184-221) --- #
     original_batch_size = cfg.NUM_GPUS * cfg.TRAIN.IMS_PER_BATCH
@@ -190,7 +200,7 @@ def main():
     if args.load_ckpt:
         state, stats = load_ckpt(args.load_ckpt, trainer.state, trainer.stats)
         trainer.state = state
-        trainer.stats = stats
+        trainer.set_stats(stats)  # rebinds the stats the jitted step uses
         if not args.resume:
             trainer.state = trainer.state._replace(
                 step=np.asarray(args.start_step, np.int32)
@@ -199,7 +209,13 @@ def main():
     elif args.load_detectron:
         from cim_tpu.utils.torch_weights import load_detectron_pkl
 
-        body = "vgg16" if cfg.MODEL.CONV_BODY.startswith("vgg") else "resnet50"
+        conv_body = cfg.MODEL.CONV_BODY.lower()
+        if conv_body.startswith("vgg"):
+            body = "vgg16"
+        elif "hrnet" in conv_body:
+            body = "hrnet48"
+        else:
+            body = "resnet50"
         variables = load_detectron_pkl(
             args.load_detectron, conv_body=body, refine_times=cfg.REFINE_TIMES
         )
@@ -209,7 +225,7 @@ def main():
             params=jax.tree.map(jnp.asarray, variables["params"])
         )
         if variables.get("stats"):
-            trainer.stats = jax.tree.map(jnp.asarray, variables["stats"])
+            trainer.set_stats(variables["stats"])
         logger.info("Loaded Detectron pkl weights from %s", args.load_detectron)
 
     if not args.no_save:
