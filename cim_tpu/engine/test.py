@@ -20,6 +20,7 @@ most len(scales)+1 compiled programs that are reused across the dataset.
 from __future__ import annotations
 
 
+import functools
 import math
 
 import jax
@@ -54,7 +55,7 @@ class Evaluator:
         # stalls/crashes the remote AOT compiler
         self.variables = jax.device_put(variables)
         self._apply = jax.jit(self._forward)
-        self._apply_fused = None  # built on first fused call
+        self._apply_fused = {}  # ratio_hw -> jitted all-passes program
 
     def _forward(self, variables, image, rois, masks, valid, im_h, im_w):
         if image.dtype == jnp.uint8:
@@ -115,7 +116,8 @@ class Evaluator:
             and not tuple(aug.ASPECT_RATIOS)
         )
 
-    def _fused_forward(self, variables, image_u8, rois, masks, valid, im_h, im_w):
+    def _fused_forward(self, variables, image_u8, rois, masks, valid, im_h, im_w,
+                       ratio_hw=(1.0, 1.0)):
         """ALL TTA passes of one image in ONE compiled program.
 
         The reference resizes/flips on the host per pass and ships each
@@ -125,6 +127,15 @@ class Evaluator:
         sampling), cutting host->device traffic ~10x and the dispatches
         per image 10 -> 1. Scores are the AVG over passes of the K-head
         mean — identical math to im_detect_all.
+
+        ratio_hw: STATIC per-side upper bound on (im_h, im_w)/max_side
+        (one entry is 1.0). Each pass's canvas is (ceil(target*rh),
+        ceil(target*rw)) rounded up to the pad multiple — a 4:3 image
+        computes on a 3:4-shaped canvas instead of a square one,
+        dropping ~25%% of the backbone FLOPs. The content extent
+        round(src*scale) never exceeds ceil(target*ratio): scale is
+        target/max_side, so content <= ceil(ratio_true*target) and
+        ratio_true <= ratio_hw by bucketing.
         """
         from cim_tpu.data.transforms import TORCH_MEAN, TORCH_STD
         from cim_tpu.ops.image import resize_bilinear_dynamic
@@ -141,15 +152,18 @@ class Evaluator:
         else:
             base = image_u8[:, :, ::-1].astype(jnp.float32)  # BGR -> RGB
 
+        rh, rw = ratio_hw
         total = jnp.zeros((), jnp.float32)
         for target, hflip in passes:
-            tp_h = _round_up(int(target), PAD_MULTIPLE)
-            # canvas is square: max side == target exactly; the shorter
-            # side wastes only backbone FLOPs on masked zeros (~4% of the
-            # head-dominated total)
+            # pass canvases are static per (target, ratio bucket) — finer
+            # 64-px rounding adds no compile diversity across images
+            # (unlike the 128-px ORIGINAL-image buckets) and shaves
+            # another ~12% of canvas area
+            ch = _round_up(int(np.ceil(target * rh)), PAD_MULTIPLE // 2)
+            cw = _round_up(int(np.ceil(target * rw)), PAD_MULTIPLE // 2)
             s = jnp.float32(target) / max_side
             resized, (ovh, ovw) = resize_bilinear_dynamic(
-                base, (tp_h, tp_h), s, (im_h, im_w), hflip=hflip
+                base, (ch, cw), s, (im_h, im_w), hflip=hflip
             )
             if cfg.transform_mode == "ToTensor":
                 # blob.py:127-139: np.uint8 truncation, /255, normalize
@@ -157,8 +171,8 @@ class Evaluator:
                 img = (img - jnp.asarray(TORCH_MEAN)) / jnp.asarray(TORCH_STD)
             else:
                 img = resized
-            rows = jax.lax.broadcasted_iota(jnp.int32, (tp_h, tp_h), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (tp_h, tp_h), 1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
             img = img * ((rows < ovh) & (cols < ovw))[..., None].astype(img.dtype)
             if hflip:
                 # flip boxes about the ORIGINAL width, then scale
@@ -179,6 +193,24 @@ class Evaluator:
             total, base = jax.lax.optimization_barrier((total, base))
         return total / float(len(passes))
 
+    # short/long-side canvas ratio buckets (bucketed UP; 1.0 = square).
+    # VOC/COCO images are overwhelmingly 3:4-ish, so one extra compiled
+    # variant recovers ~25% of the per-pass backbone FLOPs.
+    RATIO_BUCKETS = (0.5, 0.625, 0.75, 0.875, 1.0)
+
+    def _ratio_bucket(self, h, w):
+        long = float(max(h, w))
+        rh = next(b for b in self.RATIO_BUCKETS if b >= h / long - 1e-9)
+        rw = next(b for b in self.RATIO_BUCKETS if b >= w / long - 1e-9)
+        return (rh, rw)
+
+    def _fused_jit(self, ratio_hw):
+        if ratio_hw not in self._apply_fused:
+            self._apply_fused[ratio_hw] = jax.jit(
+                functools.partial(self._fused_forward, ratio_hw=ratio_hw)
+            )
+        return self._apply_fused[ratio_hw]
+
     def _prepare_raw(self, im, boxes, masks):
         """Pad the ORIGINAL image + proposals to their buckets (no host
         resize: fused passes resize on-device)."""
@@ -190,14 +222,13 @@ class Evaluator:
             "valid": valid,
             "im_h": im.shape[0],
             "im_w": im.shape[1],
+            "ratio_hw": self._ratio_bucket(im.shape[0], im.shape[1]),
             "n": boxes.shape[0],
         }
 
     def im_detect_all_fused(self, im, boxes, masks):
-        if self._apply_fused is None:
-            self._apply_fused = jax.jit(self._fused_forward)
         req = self._prepare_raw(im, boxes, masks)
-        scores = self._apply_fused(
+        scores = self._fused_jit(req["ratio_hw"])(
             self.variables, jnp.asarray(req["image"]), jnp.asarray(req["rois"]),
             jnp.asarray(req["masks"]), jnp.asarray(req["valid"]),
             req["im_h"], req["im_w"],
@@ -396,7 +427,7 @@ class BatchedEvaluator(Evaluator):
         self._apply_batched = jax.jit(
             jax.vmap(self._forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
         )
-        self._apply_fused_b = None  # built on first fused-batched call
+        self._apply_fused_b = {}  # ratio_hw -> vmapped all-passes program
 
     def _batched_supported(self):
         aug = self.cfg.TEST.BBOX_AUG
@@ -427,25 +458,32 @@ class BatchedEvaluator(Evaluator):
             (idx, scores[i][: group[i][1]["n"]]) for i, (idx, _) in enumerate(group)
         ]
 
+    def _fused_batched_jit(self, ratio_hw):
+        if ratio_hw not in self._apply_fused_b:
+            self._apply_fused_b[ratio_hw] = jax.jit(
+                jax.vmap(
+                    functools.partial(self._fused_forward, ratio_hw=ratio_hw),
+                    in_axes=(None, 0, 0, 0, 0, 0, 0),
+                )
+            )
+        return self._apply_fused_b[ratio_hw]
+
     def _fused_batched_many(self, items):
         """Fused TTA x image batching: whole images grouped by
-        (original-image bucket, proposal pad), each stack of batch_size
-        runs ONE vmapped all-passes program."""
-        if self._apply_fused_b is None:
-            self._apply_fused_b = jax.jit(
-                jax.vmap(self._fused_forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
-            )
+        (original-image bucket, proposal pad, canvas-ratio bucket), each
+        stack of batch_size runs ONE vmapped all-passes program."""
         out = [None] * len(items)
         groups: dict = {}
 
         def flush(group):
-            scores = np.asarray(self._apply_fused_b(*self._stack_group(group)))
+            fn = self._fused_batched_jit(group[0][1]["ratio_hw"])
+            scores = np.asarray(fn(*self._stack_group(group)))
             for i, (idx, req) in enumerate(group):
                 out[idx] = scores[i][: req["n"]]
 
         for idx, (im, boxes, masks) in enumerate(items):
             req = self._prepare_raw(im, boxes, masks)
-            key = (req["image"].shape, req["rois"].shape[0])
+            key = (req["image"].shape, req["rois"].shape[0], req["ratio_hw"])
             groups.setdefault(key, []).append((idx, req))
             if len(groups[key]) == self.batch_size:
                 flush(groups.pop(key))
