@@ -27,6 +27,12 @@ def parse_args():
     parser.add_argument("--cfg", dest="cfg_file", required=True)
     parser.add_argument("--set", dest="set_cfgs", nargs="+", default=None)
     parser.add_argument("--load_ckpt", help="checkpoint directory")
+    parser.add_argument("--load_detectron", default=None,
+                        help="Detectron-pkl checkpoint (reference "
+                        "tools/test_net.py:49-50); --vis is omitted: the "
+                        "reference only sets cfg.VIS, nothing reads it "
+                        "(lib/core/config.py:498) — use "
+                        "tools/visualize_results.py")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--range", nargs=2, type=int, default=None,
                         help="start end image index range")
@@ -92,8 +98,27 @@ def main():
                 time.sleep(10)
         state, stats = load_ckpt(args.load_ckpt, trainer.state, trainer.stats)
         trainer.state = state
-        trainer.stats = stats
+        trainer.stats = stats  # only read into `variables` below; the
+        # compiled *train* step is not reused here
         logger.info("Loaded checkpoint at step %d", int(state.step) - 1)
+    elif args.load_detectron:
+        import jax.numpy as jnp
+
+        from cim_tpu.utils.torch_weights import load_detectron_pkl
+
+        conv_body = cfg.MODEL.CONV_BODY.lower()
+        body = ("vgg16" if conv_body.startswith("vgg")
+                else "hrnet48" if "hrnet" in conv_body else "resnet50")
+        loaded = load_detectron_pkl(
+            args.load_detectron, conv_body=body,
+            refine_times=cfg.REFINE_TIMES,
+        )
+        trainer.state = trainer.state._replace(
+            params=jax.tree.map(jnp.asarray, loaded["params"])
+        )
+        if loaded.get("stats"):
+            trainer.stats = jax.tree.map(jnp.asarray, loaded["stats"])
+        logger.info("Loaded Detectron pkl weights from %s", args.load_detectron)
 
     variables = {"params": trainer.state.params, "stats": trainer.stats}
     output_dir = args.output_dir or os.path.join(

@@ -36,6 +36,9 @@ def parse_args():
                         help="total images per step across devices")
     parser.add_argument("--iter_size", type=int, default=4)
     parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--lr_decay_gamma", type=float, default=None,
+                        help="override cfg.SOLVER.GAMMA (reference "
+                        "tools/train.py:95-98)")
     parser.add_argument("-o", "--optimizer", default=None,
                         help="override SOLVER.TYPE (SGD | Adam)")
     parser.add_argument("--max_iter", type=int, default=None)
@@ -128,6 +131,8 @@ def main():
         cfg.SOLVER.TYPE = args.optimizer
     if args.lr is not None:
         cfg.SOLVER.BASE_LR = args.lr
+    if args.lr_decay_gamma is not None:
+        cfg.SOLVER.GAMMA = args.lr_decay_gamma
     if args.max_iter is not None:
         cfg.SOLVER.MAX_ITER = args.max_iter
 
