@@ -359,6 +359,17 @@ def convert_prm_checkpoint(sd, num_classes=20):
     return {"params": params, "stats": stats}
 
 
+def body_for_config(conv_body_name: str) -> str:
+    """cfg.MODEL.CONV_BODY -> converter family for the checkpoint
+    loaders ('vgg16' | 'hrnet48' | 'resnet50')."""
+    name = conv_body_name.lower()
+    if name.startswith("vgg"):
+        return "vgg16"
+    if "hrnet" in name:
+        return "hrnet48"
+    return "resnet50"
+
+
 def load_detectron_pkl(path_or_blobs, conv_body="resnet50", refine_times=3):
     """Detectron-pkl checkpoint -> CIMModel variables.
 

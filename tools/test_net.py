@@ -104,13 +104,10 @@ def main():
     elif args.load_detectron:
         import jax.numpy as jnp
 
-        from cim_tpu.utils.torch_weights import load_detectron_pkl
+        from cim_tpu.utils.torch_weights import body_for_config, load_detectron_pkl
 
-        conv_body = cfg.MODEL.CONV_BODY.lower()
-        body = ("vgg16" if conv_body.startswith("vgg")
-                else "hrnet48" if "hrnet" in conv_body else "resnet50")
         loaded = load_detectron_pkl(
-            args.load_detectron, conv_body=body,
+            args.load_detectron, conv_body=body_for_config(cfg.MODEL.CONV_BODY),
             refine_times=cfg.REFINE_TIMES,
         )
         trainer.state = trainer.state._replace(

@@ -214,15 +214,11 @@ def main():
     elif args.load_detectron:
         from cim_tpu.utils.torch_weights import load_detectron_pkl
 
-        conv_body = cfg.MODEL.CONV_BODY.lower()
-        if conv_body.startswith("vgg"):
-            body = "vgg16"
-        elif "hrnet" in conv_body:
-            body = "hrnet48"
-        else:
-            body = "resnet50"
+        from cim_tpu.utils.torch_weights import body_for_config
+
         variables = load_detectron_pkl(
-            args.load_detectron, conv_body=body, refine_times=cfg.REFINE_TIMES
+            args.load_detectron, conv_body=body_for_config(cfg.MODEL.CONV_BODY),
+            refine_times=cfg.REFINE_TIMES,
         )
         import jax.numpy as jnp
 
