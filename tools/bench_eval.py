@@ -71,6 +71,29 @@ def main():
     items = [make_item(i) for i in range(args.n_images)]
     modes = args.modes.split(",")
 
+    # analytic model FLOPs of the full TTA protocol for one image (fwd
+    # only; same head terms as bench.model_train_flops, summed over the
+    # 10 passes' canvas-dependent backbone/RoIAlign terms)
+    def eval_flops():
+        ev_tmp = Evaluator(cfg, trainer.model, variables)
+        rh, rw = ev_tmp._ratio_bucket(375, 500)
+        n = args.n_props
+        r2, dim_in, hidden, classes = 49, 1024, 4096, cfg.MODEL.NUM_CLASSES
+        total = 0.0
+        for target, _ in ev_tmp._tta_pass_list():
+            fh = -(-int(np.ceil(target * rh)) // 16)
+            fw = -(-int(np.ceil(target * rw)) // 16)
+            conv = n * r2 * (2 * dim_in) * dim_in * 9 * 2
+            fc = n * (dim_in * r2) * hidden * 2 + n * hidden * hidden * 2
+            heads = n * hidden * (classes + 1) * 2 * (2 + 2 * cfg.REFINE_TIMES)
+            roi = n * r2 * fh * fw * dim_in * 2  # dense-Kronecker kernel
+            backbone = 2 * 3.26e9 * (fh * 16 * fw * 16) / (224 * 224)
+            total += conv + fc + heads + roi + backbone
+        return total
+
+    flops = eval_flops()
+    peak = 197e12
+
     if "seq" in modes:
         ev = Evaluator(cfg, trainer.model, variables)
         ev.im_detect_all(*items[0])  # compile all buckets
@@ -85,6 +108,7 @@ def main():
                     "value": round(dt, 3),
                     "unit": "s/image",
                     "passes": 10,
+                    "mfu_model": round(flops / dt / peak, 4),
                 }
             ),
             flush=True,
@@ -104,6 +128,7 @@ def main():
                     "unit": "s/image",
                     "passes": 10,
                     "eval_batch": args.eval_batch,
+                    "mfu_model": round(flops / dt / peak, 4),
                 }
             ),
             flush=True,
