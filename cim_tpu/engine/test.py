@@ -84,9 +84,9 @@ class Evaluator:
         return jnp.mean(scores[:, :, 1:], axis=0)  # (N, C)
 
     # -------------------------- fused TTA ------------------------------ #
-    def _tta_pass_list(self):
+    @staticmethod
+    def tta_pass_list(cfg):
         """Static (target_scale, hflip) list in im_detect_all's order."""
-        cfg = self.cfg
         if not cfg.TEST.BBOX_AUG.ENABLED:
             return [(int(cfg.TEST.SCALE), False)]
         passes = []
@@ -98,6 +98,9 @@ class Evaluator:
                 passes.append((int(s), True))
         passes.append((int(cfg.TEST.SCALE), False))
         return passes
+
+    def _tta_pass_list(self):
+        return self.tta_pass_list(self.cfg)
 
     def fused_supported(self) -> bool:
         """Fused TTA covers the shipped protocols: scales x hflip with
@@ -130,7 +133,8 @@ class Evaluator:
 
         ratio_hw: STATIC per-side upper bound on (im_h, im_w)/max_side
         (one entry is 1.0). Each pass's canvas is (ceil(target*rh),
-        ceil(target*rw)) rounded up to the pad multiple — a 4:3 image
+        ceil(target*rw)) rounded up to 64 px (PAD_MULTIPLE // 2; finer
+        than the original-image buckets) — a 4:3 image
         computes on a 3:4-shaped canvas instead of a square one,
         dropping ~25%% of the backbone FLOPs. The content extent
         round(src*scale) never exceeds ceil(target*ratio): scale is
@@ -198,10 +202,12 @@ class Evaluator:
     # variant recovers ~25% of the per-pass backbone FLOPs.
     RATIO_BUCKETS = (0.5, 0.625, 0.75, 0.875, 1.0)
 
-    def _ratio_bucket(self, h, w):
+    @staticmethod
+    def _ratio_bucket(h, w):
         long = float(max(h, w))
-        rh = next(b for b in self.RATIO_BUCKETS if b >= h / long - 1e-9)
-        rw = next(b for b in self.RATIO_BUCKETS if b >= w / long - 1e-9)
+        buckets = Evaluator.RATIO_BUCKETS
+        rh = next(b for b in buckets if b >= h / long - 1e-9)
+        rw = next(b for b in buckets if b >= w / long - 1e-9)
         return (rh, rw)
 
     def _fused_jit(self, ratio_hw):

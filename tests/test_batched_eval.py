@@ -153,22 +153,18 @@ def test_fused_falls_back_on_aspect_ratio_tta(rng):
 
 def test_ratio_bucket_canvas_always_bounds_content():
     """The rectangular fused-TTA canvas (ceil(target*ratio_bucket) rounded
-    up to PAD_MULTIPLE) must contain the resized content
-    round(src*target/max_side) for every image shape and TTA target."""
-    import math
-
+    up to 64 px, PAD_MULTIPLE // 2) must contain the resized content
+    round(src*target/max_side) for every image shape and TTA target —
+    pure canvas arithmetic, no model involved."""
     from cim_tpu.engine.test import PAD_MULTIPLE, _round_up
 
-    cfg = _cfg(fused=True)
-    model = build_model(cfg)
-    ev = Evaluator.__new__(Evaluator)  # only _ratio_bucket needed
     rng = np.random.RandomState(0)
     targets = [480, 576, 688, 864, 1200]
     shapes = [(375, 500), (500, 375), (127, 128), (128, 127), (96, 128),
               (333, 500), (1, 500), (500, 1), (128, 128), (99, 481)]
     shapes += [tuple(rng.randint(1, 1200, 2)) for _ in range(200)]
     for h, w in shapes:
-        rh, rw = ev._ratio_bucket(h, w)
+        rh, rw = Evaluator._ratio_bucket(h, w)
         assert (rh == 1.0) or (rw == 1.0)
         for t in targets:
             ch = _round_up(int(np.ceil(t * rh)), PAD_MULTIPLE // 2)

@@ -71,28 +71,22 @@ def main():
     items = [make_item(i) for i in range(args.n_images)]
     modes = args.modes.split(",")
 
-    # analytic model FLOPs of the full TTA protocol for one image (fwd
-    # only; same head terms as bench.model_train_flops, summed over the
-    # 10 passes' canvas-dependent backbone/RoIAlign terms)
-    def eval_flops():
-        ev_tmp = Evaluator(cfg, trainer.model, variables)
-        rh, rw = ev_tmp._ratio_bucket(375, 500)
-        n = args.n_props
-        r2, dim_in, hidden, classes = 49, 1024, 4096, cfg.MODEL.NUM_CLASSES
-        total = 0.0
-        for target, _ in ev_tmp._tta_pass_list():
-            fh = -(-int(np.ceil(target * rh)) // 16)
-            fw = -(-int(np.ceil(target * rw)) // 16)
-            conv = n * r2 * (2 * dim_in) * dim_in * 9 * 2
-            fc = n * (dim_in * r2) * hidden * 2 + n * hidden * hidden * 2
-            heads = n * hidden * (classes + 1) * 2 * (2 + 2 * cfg.REFINE_TIMES)
-            roi = n * r2 * fh * fw * dim_in * 2  # dense-Kronecker kernel
-            backbone = 2 * 3.26e9 * (fh * 16 * fw * 16) / (224 * 224)
-            total += conv + fc + heads + roi + backbone
-        return total
+    # analytic model FLOPs of the full TTA protocol for one image: the
+    # shared train FLOP model (fwd+bwd = 3x fwd) divided back to fwd-only,
+    # summed over the 10 passes' canvas-dependent feature shapes
+    from bench import TPU_PEAK_FLOPS, model_train_flops
 
-    flops = eval_flops()
-    peak = 197e12
+    rh, rw = Evaluator._ratio_bucket(375, 500)
+    flops = sum(
+        model_train_flops(
+            args.n_props,
+            (-(-int(np.ceil(t * rh)) // 16), -(-int(np.ceil(t * rw)) // 16)),
+            num_classes=cfg.MODEL.NUM_CLASSES,
+            refine_times=cfg.REFINE_TIMES,
+        ) / 3.0
+        for t, _ in Evaluator.tta_pass_list(cfg)
+    )
+    peak = TPU_PEAK_FLOPS
 
     if "seq" in modes:
         ev = Evaluator(cfg, trainer.model, variables)

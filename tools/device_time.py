@@ -15,10 +15,11 @@ Usage:
     from tools.device_time import device_time_ms
     ms = device_time_ms(lambda x: model.apply(v, x).sum(), x0)
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -212,9 +212,7 @@ def main():
             )
         logger.info("Loaded checkpoint; starting at step %d", int(trainer.state.step))
     elif args.load_detectron:
-        from cim_tpu.utils.torch_weights import load_detectron_pkl
-
-        from cim_tpu.utils.torch_weights import body_for_config
+        from cim_tpu.utils.torch_weights import body_for_config, load_detectron_pkl
 
         variables = load_detectron_pkl(
             args.load_detectron, conv_body=body_for_config(cfg.MODEL.CONV_BODY),
