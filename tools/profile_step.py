@@ -6,6 +6,10 @@ train step (per-image). Use to attribute step-time regressions; the
 numbers in README.md's performance table come from bench.py (same
 shapes), this script explains them.
 
+These are pipelined-loop timings — valid for device-bound programs
+(tens of ms). For sub-RTT programs the tunnel's async dispatch makes
+them meaningless; use tools/device_time.py (in-program chaining) there.
+
 Reference has no equivalent (it publishes no throughput numbers at all;
 SURVEY.md §6) — this is framework-native observability.
 """
