@@ -15,11 +15,45 @@ edge clamping — with a DYNAMIC scale and a dynamic source valid extent
 reference's hflip passes (test.py:243-265, applied to the original before
 resizing) is folded into the source x coordinate (mirror then resample
 commutes with resampling on the mirrored grid).
+
+Formulation: bilinear taps factor per axis, so the resize is two dense
+matmuls out = Ry @ img @ Rx^T with Ry (out_h, H) / Rx (out_w, W) holding
+the 2-tap row/column weights (built elementwise from iotas + the dynamic
+scale — static shapes, dynamic content). The earlier 4x full-canvas
+gather formulation ran at ~1 element/cycle on the TPU's vector gather
+path: 57 ms for a 1280x1024 canvas, ~17 ms/pass averaged over the TTA
+protocol and the single largest cost of fused eval. The matmul form is
+~6 GFLOP at the same canvas (<0.5 ms) and numerically identical taps
+(Precision.HIGHEST keeps f32 accumulation; see
+tests/test_image_resize.py for the gather cross-check).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _axis_weights(out_len, src_static, src_valid_f, ratio, flip=False):
+    """(out_len, src_static) bilinear weight matrix along one axis.
+
+    src_valid_f: dynamic f32 valid source extent (<= src_static);
+    ratio: dynamic f32 src/out sampling ratio; flip mirrors the source
+    coordinate about src_valid_f - 1. Rows for out positions beyond the
+    valid output extent are harmless (masked by the caller's inside
+    mask); taps never read past src_valid_f - 1 (cv2 border replicate).
+    """
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    s = (o + 0.5) * ratio - 0.5
+    if flip:
+        s = (src_valid_f - 1.0) - s
+    s = jnp.clip(s, 0.0, src_valid_f - 1.0)
+    t0 = jnp.floor(s)
+    frac = s - t0
+    t1 = jnp.minimum(t0 + 1.0, src_valid_f - 1.0)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (out_len, src_static), 1)
+    return (idx == t0[:, None]) * (1.0 - frac)[:, None] + (
+        idx == t1[:, None]
+    ) * frac[:, None]
 
 
 def resize_bilinear_dynamic(
@@ -55,15 +89,50 @@ def resize_bilinear_dynamic(
     ratio_y = src_h / jnp.maximum(ovh.astype(jnp.float32), 1.0)
     ratio_x = src_w / jnp.maximum(ovw.astype(jnp.float32), 1.0)
 
+    h, w, _ = image.shape
+    ry = _axis_weights(out_h, h, src_h, ratio_y)  # (out_h, H)
+    rx = _axis_weights(out_w, w, src_w, ratio_x, flip=hflip)  # (out_w, W)
+    # f32 weight x f32 pixel products must stay f32 on the MXU: default
+    # bf16 operand rounding shifts pixel values ~0.5/255 which flips the
+    # downstream uint8-truncation bits of the ToTensor path
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("oh,hwc->owc", ry, image.astype(jnp.float32),
+                   precision=hi)
+    out = jnp.einsum("pw,owc->opc", rx, t, precision=hi)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
+    inside = (rows < ovh) & (cols < ovw)
+    return out * inside[..., None].astype(out.dtype), (ovh, ovw)
+
+
+def resize_bilinear_gather(
+    image,
+    out_hw,
+    scale,
+    src_valid_hw,
+    hflip: bool = False,
+):
+    """Gather-formulation reference of resize_bilinear_dynamic (same
+    semantics, 4 full-canvas takes). Kept for the numerical cross-check
+    in tests/test_image_resize.py; ~100x slower on TPU — do not use in
+    the eval path."""
+    out_h, out_w = out_hw
+    src_h = jnp.asarray(src_valid_hw[0], jnp.float32)
+    src_w = jnp.asarray(src_valid_hw[1], jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    ovh = jnp.round(src_h * scale).astype(jnp.int32)
+    ovw = jnp.round(src_w * scale).astype(jnp.int32)
+    ratio_y = src_h / jnp.maximum(ovh.astype(jnp.float32), 1.0)
+    ratio_x = src_w / jnp.maximum(ovw.astype(jnp.float32), 1.0)
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
     sy = (rows.astype(jnp.float32) + 0.5) * ratio_y - 0.5
     sx = (cols.astype(jnp.float32) + 0.5) * ratio_x - 0.5
     if hflip:
-        # mirror of the ORIGINAL: x_src' = (w - 1) - x_src
         sx = (src_w - 1.0) - sx
 
-    # edge clamping to the dynamic valid extent (cv2 border replicate)
     sy = jnp.clip(sy, 0.0, src_h - 1.0)
     sx = jnp.clip(sx, 0.0, src_w - 1.0)
     y0 = jnp.floor(sy)
