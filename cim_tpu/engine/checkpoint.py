@@ -8,6 +8,7 @@ save() from their except block.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any
 
@@ -16,6 +17,8 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from cim_tpu.engine.train import TrainState
+
+logger = logging.getLogger(__name__)
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
@@ -48,6 +51,28 @@ def latest_step(ckpt_dir: str) -> int | None:
     step = mgr.latest_step()
     mgr.close()
     return step
+
+
+def wait_for_checkpoint(
+    ckpt_dir: str, poll_s: float = 10.0, timeout_s: float | None = None
+) -> int:
+    """Block until a checkpoint appears in ckpt_dir; returns its step.
+
+    Lets eval be launched before training has written its first snapshot
+    (reference tools/test_net.py:156-163 busy-waits on the ckpt path).
+    Raises TimeoutError after timeout_s (None = wait forever).
+    """
+    import time
+
+    t0 = time.monotonic()
+    while True:
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            return step
+        if timeout_s is not None and time.monotonic() - t0 > timeout_s:
+            raise TimeoutError(f"No checkpoint appeared in {ckpt_dir}")
+        logger.info("Waiting for checkpoint in %s ...", ckpt_dir)
+        time.sleep(poll_s)
 
 
 def load_ckpt(ckpt_dir: str, state: TrainState, stats: Any, step: int | None = None):

@@ -169,13 +169,21 @@ def pcl_loss(predict_cls, mat, labels, valid, max_clusters: int = 64):
 
     # foreground branch: mean prediction over members vs. cluster classes
     col_ind = jnp.any(tf, axis=1).astype(pred.dtype)  # (K, C+1)
-    mean_vec = (member @ pred) / jnp.maximum(count, 1.0)[:, None]  # (K, C+1)
+    # Precision.HIGHEST: these matmuls replace exact f32 elementwise
+    # reductions of the reference; default TPU precision would round the
+    # operands to bf16 and log(1-mean_vec) amplifies that for
+    # near-saturated clusters. Negligible cost at K=64, C+1<=81.
+    mean_vec = jnp.matmul(
+        member, pred, precision=jax.lax.Precision.HIGHEST
+    ) / jnp.maximum(count, 1.0)[:, None]  # (K, C+1)
     fg_loss = count * jnp.mean(
         _bce(mean_vec, jnp.clip(col_ind, 0, 1)), axis=1
     )
 
     # background branch (== count * mean BCE over member rows)
-    bg_loss = member @ row_bce  # (K,)
+    bg_loss = jnp.matmul(
+        member, row_bce, precision=jax.lax.Precision.HIGHEST
+    )  # (K,)
 
     contrib = jnp.where(cids == bg_ind, bg_loss, fg_loss)
     total = jnp.sum(jnp.where(present, contrib, 0.0))

@@ -46,3 +46,31 @@ def test_checkpoint_keeps_multiple(tmp_path):
     assert latest_step(ckpt_dir) == 3
     restored, _ = load_ckpt(ckpt_dir, _state(0, 0), stats, step=2)
     assert int(restored.step) == 3
+
+
+def test_wait_for_checkpoint(tmp_path):
+    """wait_for_checkpoint polls until a snapshot appears (the eval-launched-
+    before-training contract, reference tools/test_net.py:156-163)."""
+    import threading
+
+    import pytest
+
+    from cim_tpu.engine.checkpoint import wait_for_checkpoint
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    with pytest.raises(TimeoutError):
+        wait_for_checkpoint(ckpt_dir, poll_s=0.05, timeout_s=0.2)
+
+    state, stats = _state(0, 5), {}
+
+    def writer():
+        import time
+
+        time.sleep(0.5)
+        save_ckpt(ckpt_dir, state, stats)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    step = wait_for_checkpoint(ckpt_dir, poll_s=0.05, timeout_s=30)
+    t.join()
+    assert step == int(state.step)

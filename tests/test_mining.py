@@ -198,3 +198,35 @@ def test_cim_mine_coco_label_space(rng):
     )
     np.testing.assert_allclose(np.asarray(got.gt_labels), want_lab, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got.gt_mask), want_idx)
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+@pytest.mark.parametrize("miner", ["cim", "mist"])
+def test_per_class_mined_count_bounded_by_max_seeds(seed, miner):
+    """anti_noise_resample(max_draws=max_seeds(p_seed, n)) silently
+    under-draws if any class ever mines more rows than the seed count. The
+    bound holds because cim_mine/mist_mine pick rows only from (at most)
+    k_seed seed columns — but that is a cross-module assumption; this test
+    makes a future mining change that breaks it fail loudly instead of
+    quietly skewing the resampling distribution (see cim_layer's max_draws
+    plumbing, cim_tpu/mining/cim.py)."""
+    from cim_tpu.mining.cim import max_seeds
+
+    rng = np.random.RandomState(100 + seed)
+    n = int(rng.randint(20, 120))
+    cls, det, labels, iou, asy = _make_instance(
+        rng, n=n, c=20, n_labels=int(rng.randint(1, 6))
+    )
+    params = MiningParams(p_seed=0.1)
+    if miner == "cim":
+        mined = cim_mine(
+            jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+            jnp.asarray(iou), jnp.asarray(asy), jnp.ones(n, bool), params,
+        )
+    else:
+        mined = mist_mine(
+            jnp.asarray(cls * det), jnp.asarray(labels), jnp.asarray(iou),
+            jnp.ones(n, bool), params,
+        )
+    per_class = np.asarray(mined.gt_labels)[:, 1:].sum(axis=0)
+    assert per_class.max() <= max_seeds(params.p_seed, n)

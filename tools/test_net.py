@@ -13,7 +13,6 @@ import argparse
 import logging
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -73,7 +72,7 @@ def main():
 
     import jax
 
-    from cim_tpu.engine.checkpoint import latest_step, load_ckpt
+    from cim_tpu.engine.checkpoint import load_ckpt
     from cim_tpu.engine.test_engine import run_inference
     from cim_tpu.engine.train import Trainer
     from cim_tpu.data.synthetic import make_microbatch
@@ -93,9 +92,9 @@ def main():
     if args.load_ckpt:
         if args.wait:
             # reference test_net.py:156-163 busy-waits for the ckpt file
-            while latest_step(args.load_ckpt) is None:
-                logger.info("Waiting for checkpoint in %s ...", args.load_ckpt)
-                time.sleep(10)
+            from cim_tpu.engine.checkpoint import wait_for_checkpoint
+
+            wait_for_checkpoint(args.load_ckpt)
         state, stats = load_ckpt(args.load_ckpt, trainer.state, trainer.stats)
         trainer.state = state
         trainer.stats = stats  # only read into `variables` below; the

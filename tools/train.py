@@ -227,13 +227,20 @@ def main():
             trainer.set_stats(variables["stats"])
         logger.info("Loaded Detectron pkl weights from %s", args.load_detectron)
 
-    if not args.no_save:
+    # side-effect writes (checkpoints, config pickle, tensorboard) happen on
+    # process 0 only: with --multihost every process sees the same
+    # output_dir on a shared filesystem and concurrent identical writes can
+    # corrupt checkpoints (replaces the reference's single-process
+    # assumption, tools/train.py:344)
+    do_save = not args.no_save and jax.process_index() == 0
+
+    if do_save:
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "config_and_args.pkl"), "wb") as f:
             pickle.dump({"cfg": dict(cfg), "args": vars(args)}, f)
 
     tb_writer = None
-    if args.use_tfboard and not args.no_save:
+    if args.use_tfboard and do_save:
         try:
             from flax.metrics import tensorboard
 
@@ -272,15 +279,15 @@ def main():
                 step, metrics["lr"], cfg.SOLVER.MAX_ITER
             )
             step = int(trainer.state.step)
-            if not args.no_save and step % checkpoint_period == 0:
+            if do_save and step % checkpoint_period == 0:
                 save_ckpt(ckpt_dir, trainer.state, trainer.stats)
-        if not args.no_save:
+        if do_save:
             save_ckpt(ckpt_dir, trainer.state, trainer.stats)
         logger.info("Training done at step %d", step)
     except (RuntimeError, KeyboardInterrupt):
         # crash-save (reference tools/train.py:450-456)
         logger.info("Save ckpt on exception ...")
-        if not args.no_save:
+        if do_save:
             save_ckpt(ckpt_dir, trainer.state, trainer.stats)
         print(traceback.format_exc())
     finally:
