@@ -48,15 +48,30 @@ def parse_args():
     return parser.parse_args()
 
 
-def load_cob_masks(cob_dir, image_id):
+def load_cob_masks(cob_dir, entry, coco_scheme=False):
     """Full-resolution COB proposal masks for one image
-    (reference tools/evaluation.py:89-106 .mat reload)."""
+    (reference tools/evaluation.py:89-106 .mat reload).
+
+    VOC scheme: <YYYY>_<NNNNNN>.mat with cell array maskmat[:, 0]
+    (reference :104-105). COCO scheme: image basename .jpg->.mat, trying the
+    COCO_train2014_/COCO_val2014_ prefixes first (reference :90-99).
+    """
     from scipy.io import loadmat
 
-    s = str(int(image_id))
-    file_name = s[:4] + "_" + s[4:]
-    path = os.path.join(cob_dir, file_name + ".mat")
-    proposals = loadmat(path)["maskmat"][:, 0]
+    if coco_scheme:
+        base = os.path.basename(entry["image"]).rsplit(".", 1)[0] + ".mat"
+        for cand in ("COCO_train2014_" + base, "COCO_val2014_" + base, base):
+            path = os.path.join(cob_dir, cand)
+            if os.path.exists(path):
+                break
+        proposals = loadmat(
+            path, verify_compressed_data_integrity=False
+        )["maskmat"].reshape(-1)
+    else:
+        s = str(int(entry["id"]))
+        file_name = s[:4] + "_" + s[4:]
+        path = os.path.join(cob_dir, file_name + ".mat")
+        proposals = loadmat(path)["maskmat"][:, 0]
     return [np.asarray(p) for p in proposals]
 
 
@@ -81,19 +96,22 @@ def eval_shard(args_tuple):
         boxes = np.asarray(rec["boxes"])
 
         if cob_dir is not None:
-            masks_full = load_cob_masks(cob_dir, entry["id"])
+            masks_full = load_cob_masks(
+                cob_dir, entry, coco_scheme=opts["coco_scheme"]
+            )
         else:
             masks_full = None  # fall back to 7x7 masks upscaled below
 
-        if cfg.TEST.PROPOSAL_FILTER and masks_full is not None:
-            # size filter (reference :108-115): drop proposals covering
-            # <2e-5 or >0.85 of the image
-            areas = np.array([m.sum() for m in masks_full], np.float64)
+        if cfg.TEST.PROPOSAL_FILTER:
+            # size filter (reference :107-116): zero the scores of
+            # proposals whose BOX covers < 2e-5 or > 0.85 of the image
+            # (proposal_size_limit, reference :198); box areas, not mask
+            # areas, and independent of the mask source
+            areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
             im_area = entry["height"] * entry["width"]
-            frac = areas / im_area
-            bad = (frac < 2e-5) | (frac > 0.85)
+            bad = (areas < 2e-5 * im_area) | (areas > 0.85 * im_area)
             scores = scores.copy()
-            scores[bad] = -1.0
+            scores[bad] = 0.0
 
         s, b, cls_boxes, cls_inds = mask_results_with_nms_and_limit_get_index(
             cfg, scores, boxes
@@ -182,6 +200,10 @@ def main():
 
     with open(args.result_path, "rb") as f:
         detections = pickle.load(f)
+    if isinstance(detections, dict) and "all_boxes" in detections:
+        # reference-format pkl ({'all_boxes': {image -> {scores, boxes}}},
+        # reference :191-193); ours stores the inner dict directly
+        detections = detections["all_boxes"]
 
     dataset = JsonDataset(cfg, cfg.TEST.DATASETS[0])
     roidb = dataset.get_roidb(
@@ -202,6 +224,7 @@ def main():
         "score_thresh": cfg.TEST.SCORE_THRESH,
         "nms": cfg.TEST.NMS,
         "proposal_filter": cfg.TEST.PROPOSAL_FILTER,
+        "coco_scheme": "coco" in cfg.TEST.DATASETS[0],
     }
     work = [
         (opts, shard, detections, args.cob_dir, cat_ids)
