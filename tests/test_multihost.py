@@ -7,6 +7,7 @@ With process_count == 1 every helper must degrade to the single-host
 behavior the rest of the suite pins.
 """
 import jax
+import pytest
 import numpy as np
 
 from cim_tpu import parallel
@@ -51,3 +52,31 @@ def test_trainer_detects_single_process_mesh():
     sample = make_microbatch(rng, image_hw=(32, 32), n_props=32, n_valid=16)
     trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
     assert trainer._multiprocess is False
+
+
+@pytest.mark.slow
+def test_two_process_distributed_matches_single_process(tmp_path):
+    """REAL multi-process execution: the launcher spawns 2 jax.distributed
+    CPU processes (localhost coordinator, gloo collectives) + a
+    single-process baseline over the same 8-device global batch and
+    asserts identical losses and a disjoint+covering roidb sharding.
+    See tools/multihost_dryrun.py."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "tools/multihost_dryrun.py"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1100,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["ok"]
+    assert result["num_processes"] == 2
+    assert result["max_loss_delta_vs_single_process"] < 1e-4
