@@ -12,6 +12,13 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # C++ fast paths (cim_tpu.native builds lazily with g++)
+    from cim_tpu import native as _native
+
+    _native._load()
+except Exception:  # pragma: no cover - no compiler on host
+    _native = None
+
 
 def mask_to_rle_counts(mask: np.ndarray) -> list:
     """(H, W) {0,1} mask -> uncompressed RLE counts (column-major, starting
@@ -34,19 +41,21 @@ def mask_to_rle_counts(mask: np.ndarray) -> list:
 
 
 def rle_counts_to_mask(counts, h: int, w: int) -> np.ndarray:
-    flat = np.zeros(h * w, np.uint8)
-    pos = 0
-    val = 0
-    for c in counts:
-        if val:
-            flat[pos : pos + c] = 1
-        pos += c
-        val ^= 1
-    return flat.reshape((h, w), order="F")
+    if _native is not None:
+        return _native.rle_decode_mask(counts, h, w)
+    counts = np.asarray(counts, np.int64)
+    # vectorized: repeat the alternating 0/1 value pattern by run lengths
+    vals = (np.arange(len(counts), dtype=np.uint8) & 1)
+    flat = np.repeat(vals, counts)
+    if flat.size < h * w:
+        flat = np.pad(flat, (0, h * w - flat.size))
+    return flat[: h * w].reshape((h, w), order="F")
 
 
 def counts_to_string(counts) -> str:
     """Compress counts to the COCO string form (maskApi.c rleToString)."""
+    if _native is not None:
+        return _native.rle_to_string(counts)
     out = []
     cnts = list(counts)
     for i, x in enumerate(cnts):
@@ -65,6 +74,8 @@ def counts_to_string(counts) -> str:
 
 def string_to_counts(s: str) -> list:
     """Decompress a COCO counts string (maskApi.c rleFrString)."""
+    if _native is not None:
+        return _native.rle_from_string(s).tolist()
     cnts = []
     i = 0
     m = 0
@@ -116,13 +127,30 @@ def area(rle: dict) -> int:
 
 
 def to_bbox(rle: dict) -> np.ndarray:
-    """RLE -> xywh bbox (maskApi.c rleToBbox semantics)."""
-    m = decode(rle)
-    ys, xs = np.nonzero(m)
-    if len(ys) == 0:
+    """RLE -> xywh bbox (maskApi.c rleToBbox semantics), computed from the
+    run counts without decoding the mask."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = string_to_counts(
+            counts if isinstance(counts, str) else counts.decode("ascii")
+        )
+    counts = np.asarray(counts, np.int64)
+    if h == 0 or w == 0 or counts[1::2].sum() == 0:
         return np.zeros(4, np.float32)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    s1, e1 = starts[1::2], ends[1::2] - 1  # 1-runs: first/last linear pos
+    keep = e1 >= s1
+    s1, e1 = s1[keep], e1[keep]
+    x0, x1 = s1 // h, e1 // h
+    # a run confined to one column bounds y by its own extent; a run
+    # crossing a column boundary spans the full height
+    same = x0 == x1
+    ymin = np.where(same, s1 % h, 0).min()
+    ymax = np.where(same, e1 % h, h - 1).max()
     return np.array(
-        [xs.min(), ys.min(), xs.max() - xs.min() + 1, ys.max() - ys.min() + 1],
+        [x0.min(), ymin, x1.max() - x0.min() + 1, ymax - ymin + 1],
         np.float32,
     )
 
@@ -242,6 +270,16 @@ def iou_rle(dts: list, gts: list, iscrowd=None) -> np.ndarray:
     out = np.zeros((d, g), np.float64)
     if d == 0 or g == 0:
         return out
+    if _native is not None:
+        def _cnts(r):
+            c = r["counts"]
+            if isinstance(c, bytes):
+                c = c.decode("ascii")
+            return string_to_counts(c) if isinstance(c, str) else c
+
+        return _native.rle_iou_counts(
+            [_cnts(r) for r in dts], [_cnts(r) for r in gts], iscrowd
+        )
     dm = [decode(r).astype(bool) for r in dts]
     gm = [decode(r).astype(bool) for r in gts]
     da = [m.sum() for m in dm]

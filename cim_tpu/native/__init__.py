@@ -56,6 +56,27 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.rle_to_string.restype = ctypes.c_int
+    lib.rle_to_string.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_char_p,
+    ]
+    lib.rle_from_string.restype = ctypes.c_int
+    lib.rle_from_string.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.rle_decode.restype = None
+    lib.rle_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.rle_iou.restype = None
+    lib.rle_iou.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return lib
 
@@ -111,3 +132,62 @@ def soft_nms(dets: np.ndarray, sigma=0.5, nt=0.3, threshold=0.001,
         float(threshold), int(method), _ptr(inds, ctypes.c_int),
     )
     return boxes[:count].copy(), inds[:count].copy()
+
+
+def rle_to_string(counts) -> str:
+    """Counts -> COCO LEB base-48 string (maskApi.c rleToString)."""
+    lib = _load()
+    c = np.ascontiguousarray(counts, np.uint32)
+    out = ctypes.create_string_buffer(8 * max(len(c), 1))
+    n = lib.rle_to_string(_ptr(c, ctypes.c_uint32), len(c), out)
+    return out.raw[:n].decode("ascii")
+
+
+def rle_from_string(s: str) -> np.ndarray:
+    """COCO counts string -> uint32 counts array."""
+    lib = _load()
+    b = s.encode("ascii")
+    out = np.empty(max(len(b), 1), np.uint32)
+    m = lib.rle_from_string(b, len(b), _ptr(out, ctypes.c_uint32))
+    return out[:m].copy()
+
+
+def rle_decode_mask(counts, h: int, w: int) -> np.ndarray:
+    """Column-major counts -> (h, w) uint8 mask."""
+    lib = _load()
+    c = np.ascontiguousarray(counts, np.uint32)
+    mask = np.zeros((h, w), np.uint8)
+    lib.rle_decode(_ptr(c, ctypes.c_uint32), len(c), h, w,
+                   _ptr(mask, ctypes.c_uint8))
+    return mask
+
+
+def rle_iou_counts(dt_counts_list, gt_counts_list, iscrowd=None) -> np.ndarray:
+    """Pairwise mask IoU straight from RLE counts (no mask decode):
+    the pycocotools mask.iou semantics (crowd gt -> union = dt area)."""
+    lib = _load()
+    d, g = len(dt_counts_list), len(gt_counts_list)
+    out = np.zeros((d, g), np.float64)
+    if d == 0 or g == 0:
+        return out
+
+    def pack(lists):
+        off = np.zeros(len(lists) + 1, np.int32)
+        for i, c in enumerate(lists):
+            off[i + 1] = off[i] + len(c)
+        flat = np.empty(max(int(off[-1]), 1), np.uint32)
+        for i, c in enumerate(lists):
+            flat[off[i] : off[i + 1]] = np.asarray(c, np.uint32)
+        return flat, off
+
+    dflat, doff = pack(dt_counts_list)
+    gflat, goff = pack(gt_counts_list)
+    crowd = np.zeros(g, np.uint8)
+    if iscrowd is not None:
+        crowd[:] = np.asarray(iscrowd, np.uint8)
+    lib.rle_iou(
+        _ptr(dflat, ctypes.c_uint32), _ptr(doff, ctypes.c_int), d,
+        _ptr(gflat, ctypes.c_uint32), _ptr(goff, ctypes.c_int), g,
+        _ptr(crowd, ctypes.c_uint8), _ptr(out, ctypes.c_double),
+    )
+    return out

@@ -148,4 +148,118 @@ int soft_nms(float* boxes, int n, float sigma, float nt, float threshold,
   return N;
 }
 
+// counts -> COCO LEB-style base-48 string (maskApi.c rleToString).
+// out capacity: 8 * m chars. Returns string length.
+int rle_to_string(const uint32_t* counts, int m, char* out) {
+  int p = 0;
+  for (int i = 0; i < m; ++i) {
+    long long x = (long long)counts[i];
+    if (i > 2) x -= (long long)counts[i - 2];
+    bool more = true;
+    while (more) {
+      long long c = x & 0x1f;
+      x >>= 5;
+      more = (c & 0x10) ? (x != -1) : (x != 0);
+      if (more) c |= 0x20;
+      out[p++] = (char)(c + 48);
+    }
+  }
+  return p;
+}
+
+// COCO counts string -> counts (maskApi.c rleFrString). out capacity:
+// len(s) entries is always enough. Returns number of counts.
+int rle_from_string(const char* s, int len, uint32_t* out_counts) {
+  int m = 0, i = 0;
+  while (i < len) {
+    long long x = 0;
+    int k = 0;
+    bool more = true;
+    while (more) {
+      long long c = (long long)s[i] - 48;
+      x |= (c & 0x1f) << (5 * k);
+      more = (c & 0x20) != 0;
+      ++i;
+      ++k;
+      if (!more && (c & 0x10)) x |= -1LL << (5 * k);
+    }
+    if (m > 2) x += (long long)out_counts[m - 2];
+    out_counts[m++] = (uint32_t)x;
+  }
+  return m;
+}
+
+// counts -> (h, w) uint8 row-major mask (column-major runs).
+void rle_decode(const uint32_t* counts, int m, int h, int w, uint8_t* mask) {
+  long long pos = 0;
+  uint8_t val = 0;
+  for (int i = 0; i < m; ++i) {
+    if (val) {
+      for (uint32_t j = 0; j < counts[i]; ++j) {
+        long long p = pos + j;
+        mask[(p % h) * w + (p / h)] = 1;  // column-major -> row-major
+      }
+    }
+    pos += counts[i];
+    val ^= 1;
+  }
+}
+
+// Intersection area of two column-major RLEs over the same h*w canvas
+// (pycocotools maskApi.c rleArea-of-merge walk, specialized to 2 inputs).
+static long long rle_inter(const uint32_t* a, int ma, const uint32_t* b,
+                           int mb) {
+  long long inter = 0;
+  long long ca = ma > 0 ? a[0] : 0, cb = mb > 0 ? b[0] : 0;
+  int ia = 1, ib = 1;
+  uint8_t va = 0, vb = 0;
+  while (ia <= ma && ib <= mb) {
+    long long c = ca < cb ? ca : cb;
+    if (va && vb) inter += c;
+    ca -= c;
+    cb -= c;
+    if (ca == 0 && ia < ma) {
+      ca = a[ia++];
+      va ^= 1;
+    } else if (ca == 0) {
+      break;
+    }
+    if (cb == 0 && ib < mb) {
+      cb = b[ib++];
+      vb ^= 1;
+    } else if (cb == 0) {
+      break;
+    }
+  }
+  return inter;
+}
+
+// Pairwise mask IoU straight from RLE counts (no decode).
+// dts/gts: concatenated counts with offsets (CSR-ish). iscrowd: per-gt
+// flag -> union = dt area. out: (d, g) doubles, row-major.
+void rle_iou(const uint32_t* dt_counts, const int* dt_off, int d,
+             const uint32_t* gt_counts, const int* gt_off, int g,
+             const uint8_t* iscrowd, double* out) {
+  std::vector<double> da(d), ga(g);
+  for (int i = 0; i < d; ++i) {
+    double a = 0;
+    for (int k = dt_off[i] + 1; k < dt_off[i + 1]; k += 2) a += dt_counts[k];
+    da[i] = a;
+  }
+  for (int j = 0; j < g; ++j) {
+    double a = 0;
+    for (int k = gt_off[j] + 1; k < gt_off[j + 1]; k += 2) a += gt_counts[k];
+    ga[j] = a;
+  }
+  for (int j = 0; j < g; ++j) {
+    for (int i = 0; i < d; ++i) {
+      double inter = (double)rle_inter(
+          dt_counts + dt_off[i], dt_off[i + 1] - dt_off[i],
+          gt_counts + gt_off[j], gt_off[j + 1] - gt_off[j]);
+      double uni = iscrowd[j] ? da[i] : da[i] + ga[j] - inter;
+      out[i * g + j] = uni > 0 ? inter / uni : 0.0;
+    }
+  }
+}
+
 }  // extern "C"

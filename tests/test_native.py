@@ -84,3 +84,45 @@ def test_native_soft_nms_linear(rng):
     )
     np.testing.assert_array_equal(got_inds, want_inds)
     np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-5)
+
+
+def test_native_rle_string_roundtrip_and_decode():
+    native = pytest.importorskip("cim_tpu.native")
+    try:
+        native._load()
+    except Exception:
+        pytest.skip("no compiler")
+    m = np.zeros((37, 53), np.uint8)
+    m[5:20, 10:30] = 1
+    m[0, 0] = 1  # leading-1 mask: counts start with a 0 run
+    c = native.rle_encode_counts(m)
+    s = native.rle_to_string(c)
+    assert list(native.rle_from_string(s)) == list(c)
+    np.testing.assert_array_equal(native.rle_decode_mask(c, 37, 53), m)
+
+
+def test_native_rle_iou_matches_mask_math():
+    native = pytest.importorskip("cim_tpu.native")
+    try:
+        native._load()
+    except Exception:
+        pytest.skip("no compiler")
+    rng = np.random.RandomState(0)
+    masks = []
+    for _ in range(6):
+        m = np.zeros((40, 60), np.uint8)
+        y, x = rng.randint(0, 25), rng.randint(0, 40)
+        m[y : y + rng.randint(5, 15), x : x + rng.randint(5, 20)] = 1
+        masks.append(m)
+    counts = [native.rle_encode_counts(m) for m in masks]
+    got = native.rle_iou_counts(counts[:3], counts[3:])
+    for i in range(3):
+        for j in range(3):
+            inter = np.logical_and(masks[i], masks[3 + j]).sum()
+            uni = np.logical_or(masks[i], masks[3 + j]).sum()
+            want = inter / uni if uni else 0.0
+            assert abs(got[i, j] - want) < 1e-12
+    # crowd semantics: union = dt area
+    crowd = native.rle_iou_counts(counts[:1], counts[1:2], [1])[0, 0]
+    inter = np.logical_and(masks[0], masks[1]).sum()
+    assert abs(crowd - inter / masks[0].sum()) < 1e-12
