@@ -131,6 +131,20 @@ def run_worker(args):
 
     trainer = Trainer(cfg, jax.random.PRNGKey(0), mesh=mesh, sample_batch=sample)
     assert trainer._multiprocess
+
+    # Compile BEFORE the first collective executes: gloo context init has a
+    # hard 30s handshake window, and on a loaded single-core host the two
+    # workers' step compiles can skew past it (observed flake). AOT-lower
+    # and compile the step (warms the persistent compilation cache; no
+    # collective runs during compilation), then meet at a
+    # coordination-service barrier (long timeout, not gloo-based), so both
+    # processes enter the executing step within seconds.
+    gbatch = parallel.global_batch(mesh, local_batch)
+    trainer._step.lower(trainer.state, gbatch, jax.random.PRNGKey(0)).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier("cim_mh_warm", 600_000)
+
     metrics = _run_steps(trainer, local_batch, args.steps)
 
     with open(args.out, "w") as f:
