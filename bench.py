@@ -2,21 +2,28 @@
 """Benchmark: CIM training throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "train_images_per_sec_per_chip", "value": N,
+  {"metric": "train_images_per_sec_per_chip_protocol", "value": N,
    "unit": "images/sec/chip", "vs_baseline": R, ...}
 
 Measures the full resnet50_voc training step (backbone fwd+bwd, Pallas
 RoIAlign, 3 CIM mining branches, all four losses, SGD update,
-grad_accum=4) at the 480-scale image bucket on synthetic data of
-production shape: n_valid=2000 proposals (the typical COB count per VOC
-image) padded to the 2048 proposal bucket (cfg.TPU.PROPOSAL_BUCKETS —
-round 1 padded everything to 4096, wasting ~2x of the dominant head
-FLOPs).
+grad_accum=4) at EVERY TRAIN.SCALES bucket — the trainer draws a random
+scale per step from (480, 576, 688, 864, 1200)
+(reference lib/roi_data/minibatch.py:112, configs/resnet50_voc.yaml TRAIN
+SCALES), so the headline `value` is the uniform-sampling weighted
+throughput over all five buckets (harmonic mean of per-bucket rates),
+not the cheapest bucket. Per-bucket numbers and the 480-bucket line
+(round-over-round comparability with BENCH_r01/r02) are also emitted.
+
+Synthetic data of production shape: n_valid=2000 proposals (the typical
+COB count per VOC image) padded to the 2048 proposal bucket; image
+buckets are what the loader's 128-multiple padding produces for a
+500x375 VOC image at each scale.
 
 vs_baseline anchors against REFERENCE_IMGS_PER_SEC_PER_DEVICE — the
 reference publishes no throughput (BASELINE.md) and needs CUDA, so that
 anchor is a documented FLOP-derived estimate; the hard, measured numbers
-are the step time and the model-FLOP MFU also printed here.
+are the per-bucket step times and the model-FLOP MFU also printed here.
 """
 import json
 import os
@@ -39,6 +46,9 @@ REFERENCE_IMGS_PER_SEC_PER_DEVICE = 0.5
 # v5e bf16 peak (per chip)
 TPU_PEAK_FLOPS = 197e12
 
+# benchmark image: 500x375 landscape (the modal VOC shape)
+IM_H, IM_W = 375, 500
+
 
 def model_train_flops(n_props: int, feat_hw, dim_in: int = 1024,
                       hidden: int = 4096, num_classes: int = 20,
@@ -60,6 +70,16 @@ def model_train_flops(n_props: int, feat_hw, dim_in: int = 1024,
     return 3.0 * fwd
 
 
+def bucket_for_scale(scale: int, max_size: int):
+    """Loader-identical image bucket for the benchmark image at `scale`."""
+    from cim_tpu.data.loader import _bucket_hw
+    from cim_tpu.data.transforms import scale_for_target
+
+    s = scale_for_target((IM_H, IM_W), scale, max_size)
+    true_hw = (int(round(IM_H * s)), int(round(IM_W * s)))
+    return _bucket_hw(*true_hw), true_hw
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -79,61 +99,108 @@ def main():
 
     n_valid = 2000  # typical COB proposal count per VOC image
     n_pad = proposal_bucket(cfg, n_valid)
+    scales = list(cfg.TRAIN.SCALES)  # (480, 576, 688, 864, 1200)
 
     rng = np.random.RandomState(0)
-    # 480-scale bucket for a 500x375 VOC image -> 384x512 padded
-    kw = dict(
-        image_hw=(384, 512),
-        n_props=n_pad,
-        n_valid=n_valid,
-        num_classes=cfg.MODEL.NUM_CLASSES,
-    )
-    sample = make_microbatch(rng, **kw)
-    trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
-    # pre-stage two distinct batches on device: the benchmark measures the
-    # chip's step time, not host->device transfer (which on this rig goes
-    # through a network tunnel; on a real TPU host the ~40MB/step rides
-    # PCIe and overlaps with compute via the prefetching input pipeline)
-    batches = [
-        jax.device_put(
-            jax.tree.map(jnp.asarray, make_train_batch(rng, 1, accum, **kw))
+    trainer = None
+    per_scale = {}
+    for scale in scales:
+        bucket, true_hw = bucket_for_scale(scale, cfg.TRAIN.MAX_SIZE)
+        kw = dict(
+            image_hw=bucket,
+            n_props=n_pad,
+            n_valid=n_valid,
+            num_classes=cfg.MODEL.NUM_CLASSES,
         )
-        for _ in range(2)
-    ]
-    jax.block_until_ready(batches)
+        if trainer is None:
+            sample = make_microbatch(rng, **kw)
+            trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
+        # pre-stage two distinct batches on device: the benchmark measures
+        # the chip's step time, not host->device transfer (which on this
+        # rig goes through a network tunnel; on a real TPU host the
+        # ~40-90MB/step rides PCIe and overlaps with compute via the
+        # prefetching input pipeline)
+        batches = [
+            jax.device_put(
+                jax.tree.map(jnp.asarray, make_train_batch(rng, 1, accum, **kw))
+            )
+            for _ in range(2)
+        ]
+        jax.block_until_ready(batches)
 
-    # compile + warmup
-    m = trainer.step(batches[0], jax.random.PRNGKey(0))
-    jax.block_until_ready(m)
+        # compile + warmup
+        m = trainer.step(batches[0], jax.random.PRNGKey(0))
+        float(m["total_loss"])
 
-    n_steps = 10
-    t0 = time.time()
-    for i in range(n_steps):
-        m = trainer.step(batches[i % 2], jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(m)
-    dt = time.time() - t0
+        # Synchronize by FETCHING a scalar each step: through the
+        # remote-TPU tunnel block_until_ready can return before remote
+        # execution finishes (documented in tools/device_time.py; the
+        # deep enqueue produced bogus 50-100x throughputs at the large
+        # buckets), while a value fetch truly waits. The fetch pays the
+        # tunnel round trip, measured separately and subtracted.
+        zfn = jax.jit(lambda x: x + 1.0)
+        zx = jax.device_put(jnp.float32(0))
+        float(zfn(zx))
+        t0 = time.time()
+        for _ in range(10):
+            float(zfn(zx))
+        rtt = (time.time() - t0) / 10
 
-    imgs_per_sec = n_steps * accum / dt
-    feat_hw = (384 // 16, 512 // 16)
-    flops_padded = model_train_flops(n_pad, feat_hw)
-    flops_model = model_train_flops(n_valid, feat_hw)
+        n_steps = 10 if scale <= 576 else 6
+        t0 = time.time()
+        for i in range(n_steps):
+            m = trainer.step(batches[i % 2], jax.random.PRNGKey(i + 1))
+            float(m["total_loss"])
+        dt = time.time() - t0 - rtt * n_steps
+
+        imgs_per_sec = n_steps * accum / dt
+        feat_pad = (bucket[0] // 16, bucket[1] // 16)
+        feat_true = (true_hw[0] // 16, true_hw[1] // 16)
+        mfu_guard = imgs_per_sec * model_train_flops(
+            n_valid, (true_hw[0] // 16, true_hw[1] // 16)
+        ) / TPU_PEAK_FLOPS
+        assert mfu_guard < 1.0, (
+            f"scale {scale}: implied MFU {mfu_guard:.2f} > 1 — timing "
+            "artifact (device work not actually awaited?)"
+        )
+        per_scale[scale] = {
+            "bucket_hw": list(bucket),
+            "images_per_sec": round(imgs_per_sec, 3),
+            "ms_per_image": round(1000.0 / imgs_per_sec, 1),
+            "mfu_padded": round(
+                imgs_per_sec * model_train_flops(n_pad, feat_pad)
+                / TPU_PEAK_FLOPS, 4
+            ),
+            "mfu_model": round(
+                imgs_per_sec * model_train_flops(n_valid, feat_true)
+                / TPU_PEAK_FLOPS, 4
+            ),
+        }
+        del batches
+        print(f"# scale {scale}: {per_scale[scale]}", file=sys.stderr, flush=True)
+
+    # uniform scale sampling -> mean time per image = mean of per-bucket
+    # times; protocol throughput is their harmonic-mean rate
+    mean_t = np.mean([1.0 / per_scale[s]["images_per_sec"] for s in scales])
+    protocol_ips = float(1.0 / mean_t)
+    protocol_mfu = float(np.mean([per_scale[s]["mfu_model"] for s in scales]))
+
     print(
         json.dumps(
             {
-                "metric": "train_images_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
+                "metric": "train_images_per_sec_per_chip_protocol",
+                "value": round(protocol_ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(
-                    imgs_per_sec / REFERENCE_IMGS_PER_SEC_PER_DEVICE, 3
+                    protocol_ips / REFERENCE_IMGS_PER_SEC_PER_DEVICE, 3
                 ),
                 "proposal_pad": n_pad,
-                "ms_per_image": round(1000.0 / imgs_per_sec, 1),
-                "mfu_padded": round(
-                    imgs_per_sec * flops_padded / TPU_PEAK_FLOPS, 4
-                ),
-                "mfu_model": round(
-                    imgs_per_sec * flops_model / TPU_PEAK_FLOPS, 4
-                ),
+                "ms_per_image": round(1000.0 / protocol_ips, 1),
+                "mfu_model_protocol": round(protocol_mfu, 4),
+                "images_per_sec_480_bucket": per_scale[scales[0]][
+                    "images_per_sec"
+                ],
+                "per_scale": per_scale,
             }
         )
     )
