@@ -26,6 +26,23 @@ feature map is passed pre-flattened (H*W, C) from XLA.
 Semantics: identical to cim_tpu.ops.roi_align (mmcv aligned=True,
 sampling_ratio 0 => adaptive ceil(bin) capped at max_adaptive_grid) —
 cross-checked in tests/test_pallas_roi_align.py.
+
+Why not the separable two-stage (row-resample then column-resample)
+variant, which needs ~7x fewer matmul FLOPs (R*H*W*C + R^2*W*C vs
+R^2*H*W*C per ROI)? Stage 1 (contract h) maps to one shared MXU matmul
+(Ay-stack @ F), but stage 2 contracts w per ROI over a (BN*R, W*bc)
+intermediate whose contraction index is interleaved with channels in the
+LANE dimension. On Mosaic that leaves three options, all worse than
+Kronecker at these shapes: (a) express stage 2 as a matmul with
+delta-expanded per-ROI weights — a bc-fold FLOP waste that cancels the
+7x; (b) relayout the intermediate to (BN*R, W, bc) so the w-reduction
+runs on sublanes — a row<->sublane relayout of the full intermediate per
+grid step (~3 MB), costing more than the matmul it feeds; (c) loop
+lane-slices on the VPU — R*W tiny vector ops per block, instruction-bound.
+The Kronecker form keeps every FLOP on the MXU; its eval-shape overhead
+was the per-ROI M build, addressed below (direct (R, H*W) weight
+generation + one replication matmul each, and 48MB blocks so M is
+rebuilt for 2 channel blocks instead of 8).
 """
 from __future__ import annotations
 
@@ -36,7 +53,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# v5e VMEM is 128MB; the budget covers M scratch + F block + out block.
+# The compiler's default scoped-vmem limit is 16MB, so every pallas_call
+# here raises it to VMEM_LIMIT_BYTES (the budget plus pipelined in/out
+# block copies and mosaic internal scratch). 48MB lets the eval-shape
+# grid run 16-ROI blocks with 512-channel F blocks, cutting the
+# per-channel-block M rebuild redundancy 4x vs the old 8MB budget (the M
+# build, not the matmul, dominated eval-shape cost).
+VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
 def _sep_weight(bin_f, pos_f, lo, size, r, grid_cap, length, sampling_ratio):
@@ -85,38 +110,28 @@ def _build_m(rois_smem, nb, block_n, m_ref, *, r, spatial_scale,
     """Fill m_ref (BN*R^2, H*W) with the stacked Kronecker weights.
 
     kron(Ay, Ax) is expanded with 0/1 replication matmuls instead of
-    elementwise generation at full (R^2, H*W) size — two (R, L) weight
-    builds plus four tiny MXU matmuls per ROI, ~100x less VPU work:
-      P1 = R1 @ Ay @ R2   (replicate y-rows over x, h-cols over w)
-      P2 = S1 @ Ax @ S2   (replicate x-rows over y, w-cols over h)
+    elementwise generation at full (R^2, H*W) size: the separable weights
+    are generated elementwise at (R, H*W) directly (pos = lane//W for the
+    y axis, lane%W for x — no (R^2, ...) VPU work), then each is
+    row-replicated with one tiny MXU matmul per ROI:
+      P1 = RepY @ Wy,  Wy[y, (h, w)] = Ay[y, h]
+      P2 = RepX @ Wx,  Wx[x, (h, w)] = Ax[x, w]
       M  = P1 * P2
+    (Half the matmul FLOPs of the earlier 4-matmul expansion; the M build
+    — not the pooled matmul — dominated eval-shape cost.)
     """
     r2 = r * r
     hw = height * width
-    # bin/pos index grids for the small separable weight builds
-    ybins = jax.lax.broadcasted_iota(jnp.int32, (r, height), 0).astype(
-        jnp.float32
-    )
-    hpos = jax.lax.broadcasted_iota(jnp.int32, (r, height), 1).astype(
-        jnp.float32
-    )
-    xbins = jax.lax.broadcasted_iota(jnp.int32, (r, width), 0).astype(
-        jnp.float32
-    )
-    wpos = jax.lax.broadcasted_iota(jnp.int32, (r, width), 1).astype(
-        jnp.float32
-    )
+    # bin/pos index grids at (R, H*W): pos decodes the flattened lane
+    bins = jax.lax.broadcasted_iota(jnp.int32, (r, hw), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, hw), 1)
+    hpos = (lane // width).astype(jnp.float32)
+    wpos = (lane % width).astype(jnp.float32)
     # replication constants (0/1), built from iota compares
     i_r2 = jax.lax.broadcasted_iota(jnp.int32, (r2, r), 0)
     j_r = jax.lax.broadcasted_iota(jnp.int32, (r2, r), 1)
-    rep_y = ((i_r2 // r) == j_r).astype(jnp.float32)  # R1 (R^2, R)
-    rep_x = ((i_r2 % r) == j_r).astype(jnp.float32)  # S1 (R^2, R)
-    i_h = jax.lax.broadcasted_iota(jnp.int32, (height, hw), 0)
-    j_hw = jax.lax.broadcasted_iota(jnp.int32, (height, hw), 1)
-    rep_h = (i_h == (j_hw // width)).astype(jnp.float32)  # R2 (H, H*W)
-    i_w = jax.lax.broadcasted_iota(jnp.int32, (width, hw), 0)
-    j_hw2 = jax.lax.broadcasted_iota(jnp.int32, (width, hw), 1)
-    rep_w = (i_w == (j_hw2 % width)).astype(jnp.float32)  # S2 (W, H*W)
+    rep_y = ((i_r2 // r) == j_r).astype(jnp.float32)  # RepY (R^2, R)
+    rep_x = ((i_r2 % r) == j_r).astype(jnp.float32)  # RepX (R^2, R)
 
     # dynamic valid extent of a zero-padded bucket (trailing SMEM scalars)
     vh = rois_smem[bounds_off]
@@ -124,18 +139,12 @@ def _build_m(rois_smem, nb, block_n, m_ref, *, r, spatial_scale,
     for b in range(block_n):
         x1, y1, x2, y2 = _roi_scalars(rois_smem, nb * block_n + b,
                                       spatial_scale)
-        ay = _sep_weight(ybins, hpos, y1, y2 - y1, r, grid_cap, vh,
-                         sampling_ratio)  # (R, H)
-        ax = _sep_weight(xbins, wpos, x1, x2 - x1, r, grid_cap, vw,
-                         sampling_ratio)  # (R, W)
-        p1 = jnp.dot(
-            rep_y, jnp.dot(ay, rep_h, preferred_element_type=jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        p2 = jnp.dot(
-            rep_x, jnp.dot(ax, rep_w, preferred_element_type=jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+        wy = _sep_weight(bins, hpos, y1, y2 - y1, r, grid_cap, vh,
+                         sampling_ratio)  # (R, H*W), constant over w
+        wx = _sep_weight(bins, wpos, x1, x2 - x1, r, grid_cap, vw,
+                         sampling_ratio)  # (R, H*W), constant over h
+        p1 = jnp.dot(rep_y, wy, preferred_element_type=jnp.float32)
+        p2 = jnp.dot(rep_x, wx, preferred_element_type=jnp.float32)
         m_ref[b * r2 : (b + 1) * r2, :] = p1 * p2
 
 
@@ -213,7 +222,7 @@ def roi_align_pallas(
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 0,
     max_adaptive_grid: int = 4,
-    block_n: int = 8,
+    block_n: int = 16,
     block_c: int = 512,
     valid_hw=None,
 ):
@@ -300,6 +309,9 @@ def _forward(features, rois, valid_arr, r, spatial_scale, sampling_ratio,
             ),
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
     )(jnp.concatenate([rois_p.reshape(-1), valid_arr]), f3)
     return out[:n]
 
@@ -350,6 +362,9 @@ def _bwd_rule(r, spatial_scale, sampling_ratio, grid_cap, block_n, block_c,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (height * width, channels), features.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
     )(jnp.concatenate([rois_p.reshape(-1), valid_arr]), g_p)
     return (
