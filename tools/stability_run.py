@@ -23,6 +23,17 @@ def main():
     ap.add_argument("--n_props", type=int, default=2000)
     ap.add_argument("--image_hw", type=int, nargs=2, default=(384, 512))
     ap.add_argument("--disp", type=int, default=10)
+    ap.add_argument("--precision", default=None,
+                    help="override cfg.TPU.PRECISION (f32 | bf16_compute) "
+                    "for the precision-drift experiment")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json_out", default=None,
+                    help="dump the full loss trajectory as JSON")
+    ap.add_argument("--batch_pool", type=int, default=0,
+                    help="pre-stage N distinct batches and cycle them "
+                    "(host batch synthesis is ~10 s/batch on this rig's "
+                    "single core — a fresh batch per step leaves the TPU "
+                    "95%% idle); 0 = fresh batch every step")
     args = ap.parse_args()
 
     import jax
@@ -42,9 +53,11 @@ def main():
     cfg.TPU.DATA_PARALLEL = 1
     cfg.TPU.PALLAS_ROI_ALIGN = True
     cfg.TPU.REMAT_BOX_HEAD = False
+    if args.precision is not None:
+        cfg.TPU.PRECISION = args.precision
     accum = cfg.TPU.GRAD_ACCUM
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(args.seed)
     kw = dict(
         image_hw=tuple(args.image_hw),
         n_props=proposal_bucket(cfg, args.n_props),
@@ -54,12 +67,27 @@ def main():
     sample = make_microbatch(rng, **kw)
     trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
 
+    pool = None
+    if args.batch_pool:
+        import jax.numpy as jnp
+
+        pool = [
+            jax.device_put(
+                jax.tree.map(jnp.asarray, make_train_batch(rng, 1, accum, **kw))
+            )
+            for _ in range(args.batch_pool)
+        ]
+
     first = last = None
+    history = []
     t0 = time.time()
     for i in range(args.steps):
-        batch = make_train_batch(rng, 1, accum, **kw)
+        batch = pool[i % len(pool)] if pool else make_train_batch(rng, 1, accum, **kw)
         m = trainer.step(batch, jax.random.PRNGKey(100 + i))
         total = float(m["total_loss"])
+        history.append(
+            {k: float(v) for k, v in m.items() if k.endswith("loss")}
+        )
         assert np.isfinite(total), f"step {i}: non-finite total_loss"
         if first is None:
             first = total
@@ -78,6 +106,12 @@ def main():
         f"batch synthesis + transfer)",
         flush=True,
     )
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({"precision": cfg.TPU.PRECISION, "steps": args.steps,
+                       "history": history}, f)
     # fresh random batches + linear warmup: the decrease is only
     # resolvable above the step-to-step noise on longer runs
     if args.steps >= 40:
