@@ -48,14 +48,20 @@ def load_iou_maps(cfg, entry, index):
     Entries may also carry inline 'iou_map'/'asy_iou_map' (synthetic /
     pre-joined datasets)."""
     if "iou_map" in entry:
-        iou = np.asarray(entry["iou_map"], np.float32)
-        asy = np.asarray(entry["asy_iou_map"], np.float32)
+        iou = np.asarray(entry["iou_map"], np.float16)
+        asy = np.asarray(entry["asy_iou_map"], np.float16)
     else:
         file_name = os.path.splitext(os.path.basename(entry["image"]))[0]
         with open(os.path.join(cfg.iou_dir, file_name + ".pkl"), "rb") as f:
-            iou = np.asarray(pickle.load(f), np.float32)
+            iou = np.asarray(pickle.load(f), np.float16)
         with open(os.path.join(cfg.asy_iou_dir, file_name + ".pkl"), "rb") as f:
-            asy = np.asarray(pickle.load(f), np.float32)
+            asy = np.asarray(pickle.load(f), np.float16)
+    # stay f16 end to end: the batch ships f16 and the device upcasts
+    # (engine.train.compute_losses); the old f16->f32->f16 round trip plus
+    # an identity np.ix_ gather was ~60 ms/image of pure host copies
+    n = iou.shape[0]
+    if len(index) == n and index[0] == 0 and index[-1] == n - 1:
+        return iou, asy  # full contiguous subset: no gather needed
     iou = iou[np.ix_(index, index)]
     asy = asy[np.ix_(index, index)]
     return iou, asy
@@ -148,17 +154,35 @@ class TrainLoader:
     """
 
     def __init__(self, cfg, roidb, n_devices: int, grad_accum: int,
-                 seed: int = 3, prefetch: int = 2):
+                 seed: int = 3, prefetch: int = 2, num_workers: int | None = None):
         self.cfg = cfg
         self.roidb = roidb
         self.n_devices = n_devices
         self.grad_accum = grad_accum
         self.per_step = n_devices * grad_accum
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
-        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        # worker pool for the microbatch builds (~180 ms/image of numpy/
+        # cv2/pickle work, the train-feeding bottleneck past one chip) —
+        # cfg.DATA_LOADER.NUM_THREADS mirrors the reference's dataloader
+        # workers (tools/train.py:266-270). The scheduler (epoch
+        # permutation, scale draw, bucket grouping) stays single-threaded
+        # and deterministic; groups are dispatched to the pool and their
+        # futures consumed IN ORDER, with a per-group derived RandomState,
+        # so the batch sequence is seed-deterministic regardless of
+        # worker timing.
+        if num_workers is None:
+            # cap at the core count: on a single-core host the pool only
+            # adds GIL contention (measured 2x slower), while real TPU-VM
+            # hosts have dozens of cores
+            num_workers = min(cfg.DATA_LOADER.NUM_THREADS, os.cpu_count() or 1)
+        self.num_workers = num_workers
+        depth = prefetch + (self.num_workers if self.num_workers > 1 else 0)
+        self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = None
+        self._pool = None
 
     # -------------------------------------------------------------- #
     def _entry_bucket(self, entry, scale):
@@ -171,6 +195,7 @@ class TrainLoader:
         pending: dict = {}
         epoch_order = []
         pos = 0
+        group_idx = 0
         while not self._stop.is_set():
             if pos >= len(epoch_order):
                 epoch_order = self.rng.permutation(len(self.roidb))
@@ -184,17 +209,27 @@ class TrainLoader:
             pending.setdefault(key, []).append((entry, s))
             if len(pending[key]) >= self.per_step:
                 group = pending.pop(key)[: self.per_step]
-                batch = self._stack(group, bucket, n_bucket)
+                if self._pool is not None:
+                    grp_rng = np.random.RandomState(
+                        (self.seed * 1000003 + group_idx) % (2**32)
+                    )
+                    item = self._pool.submit(
+                        self._stack, group, bucket, n_bucket, grp_rng
+                    )
+                else:
+                    item = self._stack(group, bucket, n_bucket)
+                group_idx += 1
                 while not self._stop.is_set():
                     try:
-                        self._queue.put(batch, timeout=0.5)
+                        self._queue.put(item, timeout=0.5)
                         break
                     except queue.Full:
                         continue
 
-    def _stack(self, group, bucket, n_bucket=None):
+    def _stack(self, group, bucket, n_bucket=None, rng=None):
+        rng = rng if rng is not None else self.rng
         mbs = [
-            build_microbatch(self.cfg, e, s, bucket, self.rng, n_max=n_bucket)
+            build_microbatch(self.cfg, e, s, bucket, rng, n_max=n_bucket)
             for e, s in group
         ]
         out = {}
@@ -208,12 +243,20 @@ class TrainLoader:
     # -------------------------------------------------------------- #
     def __iter__(self):
         if self._thread is None:
+            if self.num_workers > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="cim_loader",
+                )
             self._thread = threading.Thread(target=self._produce, daemon=True)
             self._thread.start()
         return self
 
     def __next__(self):
-        return self._queue.get()
+        item = self._queue.get()
+        return item.result() if hasattr(item, "result") else item
 
     def close(self):
         self._stop.set()
@@ -225,3 +268,6 @@ class TrainLoader:
             pass
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
