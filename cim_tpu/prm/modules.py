@@ -158,9 +158,18 @@ pr_conv.defvjp(_pr_fwd, _pr_bwd)
 
 @jax.custom_vjp
 def eb_linear(x, w, b):
-    """Linear layer with excitation backprop (reference lib/bp/exbp.py
-    EBLinear): same probabilistic rule as pr_conv for dense layers.
-    x: (..., Din); w: (Din, Dout)."""
+    """Linear layer with excitation backprop: the pr_conv probabilistic
+    rule applied to a dense layer. x: (..., Din); w: (Din, Dout).
+
+    The reference's closest counterpart, lib/bp/exbp.py EBLinear
+    (:51-86), is DEAD CODE upstream (nothing imports lib/bp) and differs
+    in detail: it normalizes by |x@w+| without a small-norm zero mask,
+    subtracts the input min only when negative, omits the
+    (x - min)*grad input factor (it has no PreHook), and gates on a
+    global torch.use_pos_weights flag. This implementation instead stays
+    consistent with the ACTIVE pr_conv2d rule (prm_modules.py:104-140)
+    so dense layers compose with the patched convs in one coherent
+    excitation chain."""
     return x @ w + b
 
 
