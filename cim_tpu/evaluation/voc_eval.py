@@ -132,32 +132,29 @@ def voc_eval_boxes(
 
 
 def dis_eval_boxes(detections, annotations, imagenames, classname, ovthresh=0.5):
-    """CorLoc for one class (reference lib/datasets/dis_eval.py:35+):
-    fraction of images containing the class whose single top detection
-    overlaps a gt box with IoU > thresh."""
+    """CorLoc for one class — the EXACT reference algorithm
+    (lib/datasets/dis_eval.py:35-141): every detection whose max IoU with
+    a same-class gt exceeds ovthresh counts as a tp, and the result is
+    sum(tp) / #images-containing-the-class. The protocol feeds this from
+    box_results_for_corloc (one argmax detection per class per image,
+    lib/core/test.py:320-352), which makes it the CorLoc fraction; with
+    multiple detections per image the raw count semantics are preserved
+    (verified against the executed reference,
+    tests/test_reference_exec_voc_eval.py)."""
     class_recs = {}
-    nimgs = 0
+    nimgs = 0.0
     for imagename in imagenames:
         r = [obj for obj in annotations[imagename] if obj["name"] == classname]
         bbox = np.array([x["bbox"] for x in r]).reshape(-1, 4)
-        nimgs += int(len(r) > 0)
+        nimgs += float(len(r) > 0)
         class_recs[imagename] = {"bbox": bbox}
 
-    by_img = {}
+    tp = 0.0
     for d in detections:
-        by_img.setdefault(d[0], []).append(d)
-
-    tp = 0
-    for imagename in imagenames:
-        r = class_recs[imagename]
-        if r["bbox"].size == 0:
+        bbgt = class_recs[d[0]]["bbox"].astype(np.float64)
+        if bbgt.size == 0:
             continue
-        dets = by_img.get(imagename, [])
-        if not dets:
-            continue
-        best = max(dets, key=lambda d: d[1])
-        bb = np.array(best[2:6], np.float64)
-        bbgt = r["bbox"]
+        bb = np.array(d[2:6], np.float64)
         ixmin = np.maximum(bbgt[:, 0], bb[0])
         iymin = np.maximum(bbgt[:, 1], bb[1])
         ixmax = np.minimum(bbgt[:, 2], bb[2])
@@ -171,8 +168,8 @@ def dis_eval_boxes(detections, annotations, imagenames, classname, ovthresh=0.5)
             - inters
         )
         if np.max(inters / uni) > ovthresh:
-            tp += 1
-    return tp / max(nimgs, 1)
+            tp += 1.0
+    return tp / max(nimgs, 1.0)
 
 
 def load_annotations(annopath, imagenames):
