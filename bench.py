@@ -70,14 +70,14 @@ def model_train_flops(n_props: int, feat_hw, dim_in: int = 1024,
     return 3.0 * fwd
 
 
-def bucket_for_scale(scale: int, max_size: int):
+def bucket_for_scale(scale: int, max_size: int, multiple: int = 128):
     """Loader-identical image bucket for the benchmark image at `scale`."""
     from cim_tpu.data.loader import _bucket_hw
     from cim_tpu.data.transforms import scale_for_target
 
     s = scale_for_target((IM_H, IM_W), scale, max_size)
     true_hw = (int(round(IM_H * s)), int(round(IM_W * s)))
-    return _bucket_hw(*true_hw), true_hw
+    return _bucket_hw(*true_hw, multiple), true_hw
 
 
 def main():
@@ -101,11 +101,17 @@ def main():
     n_pad = proposal_bucket(cfg, n_valid)
     scales = list(cfg.TRAIN.SCALES)  # (480, 576, 688, 864, 1200)
 
+    pad_multiple = int(os.environ.get("BENCH_PAD_MULTIPLE", "0")) or int(
+        cfg.TPU.PAD_MULTIPLE
+    )
+    cfg.TPU.PAD_MULTIPLE = pad_multiple
     rng = np.random.RandomState(0)
     trainer = None
     per_scale = {}
     for scale in scales:
-        bucket, true_hw = bucket_for_scale(scale, cfg.TRAIN.MAX_SIZE)
+        bucket, true_hw = bucket_for_scale(
+            scale, cfg.TRAIN.MAX_SIZE, pad_multiple
+        )
         kw = dict(
             image_hw=bucket,
             n_props=n_pad,

@@ -209,11 +209,20 @@ def get_default_cfg() -> AttrDict:
     c.TPU.DATA_PARALLEL = 0  # 0 = all local devices
     c.TPU.PRECISION = "bf16_compute"  # params f32, matmul compute bf16
     c.TPU.PROPOSAL_PAD = 4096  # N_max: proposals padded/capped per image
+    # image-bucket granularity: canvases pad to the next multiple (one
+    # compiled program per bucket). 128 keeps the bucket count low; 64
+    # measured +1.7% protocol train throughput (9.13 vs 8.97 img/s;
+    # +4% at the 688 scale, neutral at 1200 where 128-aligned dims tile
+    # better) at the cost of ~2x more compiled shapes on real
+    # aspect-ratio mixes.
+    c.TPU.PAD_MULTIPLE = 128
     # proposal-count buckets: each image pads to the smallest bucket >= its
     # proposal count (<= PROPOSAL_PAD). Typical VOC images carry ~2000 COB
     # proposals, so a flat 4096 pad wastes ~2x of the dominant head FLOPs;
     # () = single PROPOSAL_PAD bucket.
-    c.TPU.PROPOSAL_BUCKETS = (1024, 2048, 4096)
+    # finer steps around the typical ~2000-2800 COB range: a 2100-proposal
+    # image previously jumped straight to the 4096 bucket (~2x head FLOPs)
+    c.TPU.PROPOSAL_BUCKETS = (1024, 1536, 2048, 2560, 3072, 4096)
     c.TPU.IMAGE_BUCKETS = ()  # () = derive from TRAIN.SCALES
     c.TPU.MAX_ADAPTIVE_GRID = 2  # RoIAlign adaptive sampling cap
     c.TPU.PALLAS_ROI_ALIGN = False  # Pallas separable-matmul RoIAlign kernel

@@ -37,8 +37,8 @@ logger = logging.getLogger(__name__)
 PAD_MULTIPLE = 128
 
 
-def _bucket_hw(h: int, w: int):
-    pad = lambda x: int(np.ceil(x / PAD_MULTIPLE) * PAD_MULTIPLE)
+def _bucket_hw(h: int, w: int, multiple: int = PAD_MULTIPLE):
+    pad = lambda x: int(np.ceil(x / multiple) * multiple)
     return pad(h), pad(w)
 
 
@@ -188,7 +188,8 @@ class TrainLoader:
     def _entry_bucket(self, entry, scale):
         h, w = entry["height"], entry["width"]
         s = scale_for_target((h, w), scale, self.cfg.TRAIN.MAX_SIZE)
-        return _bucket_hw(int(round(h * s)), int(round(w * s))), s
+        m = int(self.cfg.TPU.PAD_MULTIPLE or PAD_MULTIPLE)
+        return _bucket_hw(int(round(h * s)), int(round(w * s)), m), s
 
     def _produce(self):
         scales = list(self.cfg.TRAIN.SCALES)
