@@ -147,3 +147,35 @@ def test_train_step_vgg_backbone():
     # FREEZE_AT=2: conv1/conv2 frozen, conv5 trains
     p = trainer.state.params["conv_body"]
     assert "conv1_0" in p and "conv5_2" in p
+
+
+def test_train_step_deterministic_across_trainers():
+    """Reproducibility contract (reference seeds python/numpy/torch/cudnn,
+    tools/train.py:144-154): two independently constructed Trainers with
+    the same seeds and batches produce bitwise-identical metrics."""
+    import cim_tpu.models.tiny  # noqa: F401
+    from cim_tpu.config import clone_cfg, get_default_cfg
+    from cim_tpu.data.synthetic import make_microbatch, make_train_batch
+    from cim_tpu.engine.train import Trainer
+
+    def run():
+        cfg = clone_cfg(get_default_cfg())
+        cfg.MODEL.CONV_BODY = "tiny.conv_body"
+        cfg.TPU.PROPOSAL_PAD = 32
+        cfg.TPU.MAX_CLUSTERS = 4
+        cfg.TPU.DATA_PARALLEL = 1
+        cfg.TPU.GRAD_ACCUM = 2
+        cfg.TPU.PRECISION = "f32"
+        rng = np.random.RandomState(11)
+        kw = dict(image_hw=(32, 32), n_props=32, n_valid=24)
+        sample = make_microbatch(rng, **kw)
+        trainer = Trainer(cfg, jax.random.PRNGKey(7), sample_batch=sample)
+        out = []
+        for s in range(2):
+            batch = make_train_batch(rng, 1, 2, **kw)
+            m = trainer.step(batch, jax.random.PRNGKey(100 + s))
+            out.append({k: float(v) for k, v in m.items()})
+        return out
+
+    a, b = run(), run()
+    assert a == b  # bitwise-identical metrics, both steps
