@@ -81,6 +81,7 @@ def main():
     first = last = None
     history = []
     t0 = time.time()
+    t_steady = None  # set after step 0: excludes the first-step compile
     for i in range(args.steps):
         batch = pool[i % len(pool)] if pool else make_train_batch(rng, 1, accum, **kw)
         m = trainer.step(batch, jax.random.PRNGKey(100 + i))
@@ -92,6 +93,8 @@ def main():
         if first is None:
             first = total
         last = total
+        if i == 0:
+            t_steady = time.time()
         if i % args.disp == 0 or i == args.steps - 1:
             parts = " ".join(
                 f"{k}={float(v):.4f}"
@@ -100,10 +103,13 @@ def main():
             )
             print(f"step {i:4d} {parts}", flush=True)
     dt = time.time() - t0
+    steady = time.time() - t_steady
+    steady_ips = (args.steps - 1) * accum / steady if args.steps > 1 else 0.0
     print(
         f"stability OK: {args.steps} steps, total_loss {first:.4f} -> "
-        f"{last:.4f}, {args.steps * accum / dt:.2f} img/s (incl. host "
-        f"batch synthesis + transfer)",
+        f"{last:.4f}, {steady_ips:.2f} img/s steady-state "
+        f"({args.steps * accum / dt:.2f} incl. first-step compile; host "
+        f"batch synthesis + per-step metric fetches included)",
         flush=True,
     )
     if args.json_out:
