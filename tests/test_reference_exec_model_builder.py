@@ -1,0 +1,409 @@
+"""Full-model parity vs the *executed* reference Generalized_RCNN.
+
+tests/test_reference_exec_parity.py executes the reference's mining and
+loss functions (heads.py) directly; tests/test_full_pipeline_parity.py
+pins the assembled chain against a builder-written transliteration
+(tests/oracle_model.py). This module closes the remaining gap between
+the two: it imports and runs the reference's OWN model assembly —
+lib/modeling/model_builder.py:Generalized_RCNN — in both eval and
+training mode, so the branch wiring, squeeze/dtype handling, CIM_layer
+threshold ramp (0.25/0.5 + step_rate*k, model_builder.py:89-94), the
+iou-pkl read path (:147-159) and the loss accumulation with lambda=3 on
+branch 0 and the 3x iou weight (:161-207) are all pinned by reference
+execution rather than transliteration.
+
+The conv body is the reference's real dilated VGG16 (vgg16.py:34-132,
+proven importable by tests/test_reference_exec_backbones.py) with its
+MaskFuse box head (vgg16.py:135-179); weights are randomly initialized
+by torch and converted to the flax side with utils.torch_weights, so
+both stacks compute from identical parameters.
+
+Import shims (behavior-preserving, none touch the math):
+  - ``mmcv.ops`` is absent here; lib/ops/__init__.py:6 re-exports its
+    RoIAlign/RoIPool. The shim below is an independent numpy
+    transliteration of mmcv's roi_align CUDA kernel (aligned=True,
+    adaptive sampling_ratio=0) — the same spec cim_tpu/ops/roi_align.py
+    implements in XLA, but written against the CUDA source, not against
+    our op.
+  - ``torchvision.ops``: heads.py imports box_iou/nms; with iou_map
+    provided (always, here and in every shipped config) neither is
+    reached — stubs raise if touched.
+  - ``torch.Tensor.cuda`` is patched to identity during the training
+    forward only (PCL_loss opens with ``torch.tensor(0.).cuda(...)``,
+    heads.py:11; the value 0.0 is what enters the math).
+"""
+from __future__ import annotations
+
+import contextlib
+import importlib
+import math
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cim_tpu.config import clone_cfg, get_default_cfg
+from cim_tpu.data.synthetic import make_microbatch
+from cim_tpu.engine.train import compute_losses
+from cim_tpu.models.builder import build_model
+from cim_tpu.utils.torch_weights import (
+    _VGG_FEATURE_IDX,
+    convert_cls_iou_heads,
+    convert_mask_fuse,
+    convert_vgg16,
+)
+
+REF_LIB = "/root/reference/lib"
+
+N_VALID = 24
+N_PAD = 32
+IMAGE_HW = (96, 128)  # stride 8 -> 12x16 feature map
+
+
+# --------------------------------------------------------------------- #
+# mmcv.ops RoIAlign shim: numpy transliteration of the CUDA kernel
+# (mmcv/ops/csrc/common/cuda/roi_align_cuda_kernel.cuh, aligned=True)
+# --------------------------------------------------------------------- #
+def _bilinear(feat, y, x):
+    """CUDA bilinear_interpolate border semantics; feat (C, H, W)."""
+    C, H, W = feat.shape
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(C, feat.dtype)
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_low = int(math.floor(y))
+    x_low = int(math.floor(x))
+    if y_low >= H - 1:
+        y_high = y_low = H - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= W - 1:
+        x_high = x_low = W - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    return (
+        hy * hx * feat[:, y_low, x_low]
+        + hy * lx * feat[:, y_low, x_high]
+        + ly * hx * feat[:, y_high, x_low]
+        + ly * lx * feat[:, y_high, x_high]
+    )
+
+
+def _mmcv_roi_align_np(feat, rois, out_size, spatial_scale, sampling_ratio):
+    """feat (C, H, W); rois (N, 5) with batch index col 0; aligned=True."""
+    C = feat.shape[0]
+    n = rois.shape[0]
+    out = np.zeros((n, C, out_size, out_size), feat.dtype)
+    for r in range(n):
+        x1 = rois[r, 1] * spatial_scale - 0.5
+        y1 = rois[r, 2] * spatial_scale - 0.5
+        x2 = rois[r, 3] * spatial_scale - 0.5
+        y2 = rois[r, 4] * spatial_scale - 0.5
+        roi_w = x2 - x1
+        roi_h = y2 - y1
+        bin_h = roi_h / out_size
+        bin_w = roi_w / out_size
+        grid_h = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_h / out_size))
+        grid_w = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_w / out_size))
+        count = max(grid_h * grid_w, 1)
+        for ph in range(out_size):
+            for pw in range(out_size):
+                acc = np.zeros(C, feat.dtype)
+                for iy in range(grid_h):
+                    y = y1 + ph * bin_h + (iy + 0.5) * bin_h / grid_h
+                    for ix in range(grid_w):
+                        x = x1 + pw * bin_w + (ix + 0.5) * bin_w / grid_w
+                        acc += _bilinear(feat, y, x)
+                out[r, :, ph, pw] = acc / count
+    return out
+
+
+class _RoIAlignShim:
+    def __init__(self, output_size, spatial_scale=1.0, sampling_ratio=0,
+                 *args, **kwargs):
+        self.output_size = output_size
+        self.spatial_scale = float(spatial_scale)
+        self.sampling_ratio = int(sampling_ratio)
+
+    def __call__(self, feat, rois):
+        got = _mmcv_roi_align_np(
+            feat.detach().numpy()[0],
+            rois.detach().numpy(),
+            self.output_size,
+            self.spatial_scale,
+            self.sampling_ratio,
+        )
+        return torch.from_numpy(got)
+
+
+def _never(*a, **k):  # pragma: no cover - must not be reached
+    raise AssertionError("unexpected mmcv/torchvision op call")
+
+
+@contextlib.contextmanager
+def _cpu_cuda():
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig
+
+
+def _import_model_builder():
+    """Import the reference modeling.model_builder with stub modules."""
+    stubs = {}
+
+    def stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        stubs[name] = m
+
+    stub("torch._six", string_classes=str, int_classes=int)
+    stub("pynvml", nvmlInit=lambda: None)
+    stub("torchsummary", summary=lambda *a, **k: None)
+    stub("pycocotools")
+    stub("pycocotools.mask")
+    # torchvision for vgg16.py/heads.py; .ops never reached with iou_map
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    ops.box_iou = _never
+    ops.nms = _never
+    tv.ops = ops
+    tv.models = types.ModuleType("torchvision.models")
+    tr = types.ModuleType("torchvision.transforms")
+    tr.__path__ = []  # mark as package for the .functional import
+    trf = types.ModuleType("torchvision.transforms.functional")
+    tr.functional = trf
+    tv.transforms = tr
+    stubs["torchvision"] = tv
+    stubs["torchvision.ops"] = ops
+    stubs["torchvision.models"] = tv.models
+    stubs["torchvision.transforms"] = tr
+    stubs["torchvision.transforms.functional"] = trf
+    # mmcv.ops for lib/ops/__init__.py
+    mmcv = types.ModuleType("mmcv")
+    mops = types.ModuleType("mmcv.ops")
+    mops.RoIAlign = _RoIAlignShim
+    mops.RoIPool = _never
+    mops.roi_align = _never
+    mops.roi_pool = _never
+    mops.nms = _never
+    mops.soft_nms = _never
+    mmcv.ops = mops
+    stubs["mmcv"] = mmcv
+    stubs["mmcv.ops"] = mops
+
+    had = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    sys.path.insert(0, REF_LIB)
+    try:
+        mb = importlib.import_module("modeling.model_builder")
+        cfg_mod = importlib.import_module("core.config")
+        # pre-import what Generalized_RCNN.__init__ resolves lazily via
+        # get_func (model_builder.py:16-34) — the stubs are gone by then
+        importlib.import_module("modeling.vgg16")
+    finally:
+        sys.path.remove(REF_LIB)
+        for k, v in had.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mb, cfg_mod
+
+
+def _our_cfg():
+    cfg = clone_cfg(get_default_cfg())
+    cfg.MODEL.CONV_BODY = "vgg16.dilated_conv5_body"
+    cfg.MODEL.NUM_CLASSES = 20
+    cfg.REFINE_TIMES = 3
+    cfg.p_seed = 0.4
+    cfg.step_rate = 0.05
+    cfg.adj_thr = 0.85  # model_builder.py:89-94 leaves con_thr at its default
+    cfg.Anti_noise_sampling = False
+    cfg.TPU.PRECISION = "f32"
+    cfg.TPU.PROPOSAL_PAD = N_PAD
+    cfg.TPU.MAX_CLUSTERS = 8
+    cfg.TPU.PALLAS_ROI_ALIGN = False
+    cfg.TPU.REMAT_BOX_HEAD = False
+    # image 96x128 at stride 8 -> feature extent <= 16 -> ceil(16/7) == 3
+    cfg.TPU.MAX_ADAPTIVE_GRID = 3
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ref_setup(tmp_path_factory):
+    """Reference Generalized_RCNN + converted flax variables + fixtures."""
+    mb, cfg_mod = _import_model_builder()
+    rcfg = cfg_mod.cfg
+    rcfg.immutable(False)
+    rcfg.MODEL.NUM_CLASSES = 20
+    rcfg.MODEL.CONV_BODY = "vgg16.dilated_conv5_body"
+    rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
+    rcfg.FAST_RCNN.ROI_BOX_HEAD = "vgg16.MaskFuse"
+    rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
+    rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+    rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
+    rcfg.REFINE_TIMES = 3
+    rcfg.p_seed = 0.4
+    rcfg.step_rate = 0.05
+    rcfg.Anti_noise_sampling = False
+    rcfg.VGG_CLS_FEATURE = False
+    rcfg.HRNET_CLS_FEATURE = False
+    rcfg.TRAIN.FREEZE_CONV_BODY = False
+    rcfg.VGG.FREEZE_AT = 2
+
+    tmp = tmp_path_factory.mktemp("ioumaps")
+    iou_dir = tmp / "iou"
+    asy_dir = tmp / "asy"
+    iou_dir.mkdir()
+    asy_dir.mkdir()
+    rcfg.iou_dir = str(iou_dir)
+    rcfg.asy_iou_dir = str(asy_dir)
+
+    torch.manual_seed(0)
+    model = mb.Generalized_RCNN()
+
+    # shared fixture batch (padded on the jax side)
+    rng = np.random.RandomState(7)
+    batch = make_microbatch(
+        rng, image_hw=IMAGE_HW, n_props=N_PAD, n_valid=N_VALID,
+        num_classes=20, n_labels=3, mask_grid=64,
+    )
+    name = "fixture_0001"
+    with open(iou_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(batch["iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
+    with open(asy_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(batch["asy_iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
+    path = os.path.join("/nonexistent", name + ".jpg")
+
+    # convert the torch weights -> flax params (conv body key remap as in
+    # tests/test_reference_exec_backbones.py)
+    sd = model.state_dict()
+    ref_keys = [
+        f"conv{g}.{i}" for g, idxs in
+        [(1, (0, 2)), (2, (0, 2)), (3, (0, 2, 4)), (4, (0, 2, 4)),
+         (5, (0, 2, 4))]
+        for i in idxs
+    ]
+    sd2 = {}
+    for ref_k, (pname, fidx) in zip(ref_keys, _VGG_FEATURE_IDX.items()):
+        sd2[f"features.{fidx}.weight"] = sd[f"Conv_Body.{ref_k}.weight"]
+        sd2[f"features.{fidx}.bias"] = sd[f"Conv_Body.{ref_k}.bias"]
+    variables = {
+        "params": {
+            "conv_body": convert_vgg16(sd2),
+            "box_head": convert_mask_fuse(sd),
+            "cls_iou": convert_cls_iou_heads(sd, refine_times=3),
+        }
+    }
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables, batch, path
+
+
+def _torch_inputs(batch, training):
+    image = torch.from_numpy(
+        np.ascontiguousarray(batch["image"].transpose(2, 0, 1))
+    )[None]
+    rois5 = np.concatenate(
+        [np.zeros((N_VALID, 1), np.float32), batch["rois"][:N_VALID]], axis=1
+    )
+    rois = torch.from_numpy(rois5)
+    masks = torch.from_numpy(batch["masks"][:N_VALID])
+    labels = torch.from_numpy(batch["labels"][None])
+    mat = torch.from_numpy(batch["mat"][:N_VALID].astype(np.float32))
+    gtrois = torch.zeros((1, 5), dtype=torch.float32)
+    index = torch.arange(N_VALID, dtype=torch.float32)
+    if training:
+        # training inputs arrive with the loader's batch dim and are
+        # squeezed inside forward (model_builder.py:120-126)
+        rois, masks, labels, mat, index = (
+            t[None] for t in (rois, masks, labels, mat, index)
+        )
+    return image, rois, masks, labels, gtrois, mat, index
+
+
+def test_eval_refine_scores_match_reference_model(ref_setup):
+    """Eval forward: data -> dilated VGG16 -> mmcv-RoIAlign MaskFuse ->
+    cls_iou heads -> testing_function (model_builder.py:60-68), reference
+    executed vs the flax stack with converted weights."""
+    model, variables, batch, path = ref_setup
+    image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
+        batch, training=False
+    )
+    model.eval()
+    with torch.no_grad():
+        rd = model(image, rois, masks, labels, gtrois, mat, path=path)
+    want = [r.numpy() for r in rd["refine_score"]]  # K x (N, C) no-bg scores
+
+    cfg = _our_cfg()
+    jmodel = build_model(cfg)
+    out = jax.jit(jmodel.apply)(
+        variables,
+        jnp.asarray(batch["image"]),
+        jnp.asarray(batch["rois"]),
+        jnp.asarray(batch["masks"]),
+        jnp.asarray(batch["valid"]),
+    )
+    out = jax.tree.map(np.asarray, out)
+    got = [
+        (out["refine_cls"][k, :N_VALID] * out["refine_iou"][k, :N_VALID])[:, 1:]
+        for k in range(3)
+    ]
+    for k in range(3):
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=2e-3, atol=2e-4,
+            err_msg=f"refine_score[{k}] diverged from the executed reference",
+        )
+
+
+def test_train_losses_match_reference_model(ref_setup):
+    """Training forward: the reference's own loss assembly
+    (model_builder.py:161-207 — per-branch CIM_layer with threshold ramp,
+    lambda=3 on branch 0, iou x3, mil_bag_loss + PCL_loss accumulation,
+    iou-pkl reads) executed end to end vs engine.train.compute_losses."""
+    model, variables, batch, path = ref_setup
+    image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
+        batch, training=True
+    )
+    model.train()
+    with _cpu_cuda():
+        rd = model(
+            image, rois, masks, labels, gtrois, mat, path=path, index=index
+        )
+    want = {k: float(v.detach()) for k, v in rd["losses"].items()}
+    # the fixture must actually exercise every branch
+    assert want["cls_loss"] != 0.0 and want["bag_loss"] != 0.0
+    assert want["pcl_loss"] != 0.0
+
+    cfg = _our_cfg()
+    jmodel = build_model(cfg)
+
+    def loss_fn(batch_j):
+        out = jmodel.apply(
+            variables, batch_j["image"], batch_j["rois"], batch_j["masks"],
+            batch_j["valid"],
+        )
+        return compute_losses(cfg, out, batch_j, jax.random.PRNGKey(0))
+
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    got = jax.tree.map(np.asarray, jax.jit(loss_fn)(batch_j))
+
+    for key in ("bag_loss", "pcl_loss", "cls_loss", "iou_loss"):
+        np.testing.assert_allclose(
+            got[key], want[key], rtol=5e-3, atol=5e-4,
+            err_msg=f"{key} diverged from the executed reference assembly",
+        )
