@@ -153,7 +153,8 @@ def get_default_cfg() -> AttrDict:
     c.VGG.FREEZE_AT = 2
 
     c.ResNet = AttrDict()
-    c.ResNet.IMAGENET_PRETRAINED_WEIGHTS = "None"
+    c.ResNet.IMAGENET_PRETRAINED_WEIGHTS = ""  # reference config.py:428
+    # (the resnet yamls override it with the placeholder string 'None')
     c.ResNet.FREEZE_AT = 2
 
     c.HRNET = AttrDict()
