@@ -152,6 +152,21 @@ def _never(*a, **k):  # pragma: no cover - must not be reached
 
 
 @contextlib.contextmanager
+def _np_float_alias():
+    """core/test.py:453-454 uses the pre-1.24 ``np.float``/``np.int``
+    builtin aliases (removed upstream in numpy); restore them for the
+    call only — they were always exactly the builtins."""
+    added = [n for n in ("float", "int") if not hasattr(np, n)]
+    for n in added:
+        setattr(np, n, {"float": float, "int": int}[n])
+    try:
+        yield
+    finally:
+        for n in added:
+            delattr(np, n)
+
+
+@contextlib.contextmanager
 def _cpu_cuda():
     orig = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
@@ -223,6 +238,101 @@ def _import_model_builder():
             else:
                 sys.modules[k] = v
     return mb, cfg_mod
+
+
+def _import_core_test():
+    """Import the reference core/test.py (for im_detect_bbox_aug) with the
+    same stub set tests/test_reference_exec_eval_post.py uses."""
+    from cim_tpu.ops.boxes import box_iou
+    from cim_tpu.ops.nms import nms_np, soft_nms_np
+
+    stubs = {}
+
+    def stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        stubs[name] = m
+
+    class _ToTensor:
+        def __call__(self, a):
+            return torch.from_numpy(
+                a.transpose(2, 0, 1).astype(np.float32) / 255.0
+            )
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    class _Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    stub("torch._six", string_classes=str, int_classes=int)
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    tr.ToTensor, tr.Normalize, tr.Compose = _ToTensor, _Normalize, _Compose
+    tv.transforms = tr
+    ops = types.ModuleType("torchvision.ops")
+    ops.box_iou = _never
+    ops.nms = _never
+    tv.ops = ops
+    stubs["torchvision"] = tv
+    stubs["torchvision.transforms"] = tr
+    stubs["torchvision.ops"] = ops
+    stub("pycocotools")
+    stub("pycocotools.mask")
+    stub(
+        "utils.cython_nms",
+        nms=lambda dets, thresh: np.asarray(nms_np(dets, thresh), np.int64),
+        soft_nms=soft_nms_np,
+    )
+    stub(
+        "utils.cython_bbox",
+        bbox_overlaps=lambda b, q: np.asarray(
+            box_iou(b.astype(np.float32), q.astype(np.float32),
+                    legacy_plus_one=True)
+        ),
+    )
+
+    had = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    sys.path.insert(0, REF_LIB)
+    try:
+        mod = importlib.import_module("core.test")
+    finally:
+        sys.path.remove(REF_LIB)
+        for k, v in had.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+class _UnwrapLists(torch.nn.Module):
+    """Stands in for mynn.DataParallel(minibatch=True): core/test.py wraps
+    every blob in a 1-element list (test.py:117-125) that DataParallel
+    would scatter; unwrap and call the bare Generalized_RCNN."""
+
+    def __init__(self, model):
+        super().__init__()
+        self.model = model
+
+    def forward(self, **inputs):
+        un = {
+            k: (v[0] if isinstance(v, list) else v) for k, v in inputs.items()
+        }
+        return self.model(**un)
 
 
 def _our_cfg():
@@ -407,3 +517,74 @@ def test_train_losses_match_reference_model(ref_setup):
             got[key], want[key], rtol=5e-3, atol=5e-4,
             err_msg=f"{key} diverged from the executed reference assembly",
         )
+
+
+def test_tta_eval_matches_executed_reference_chain(ref_setup):
+    """Multi-scale + hflip TTA parity vs the *executed* reference chain:
+    core/test.py im_detect_bbox_aug (blob prep, roi scaling, per-pass
+    forward through the real Generalized_RCNN, hflip of boxes AND 7x7
+    masks, K-head averaging test.py:130-133, AVG score heuristic
+    :218-227) against engine.test.Evaluator.im_detect_all on the same
+    uint8 BGR image, proposals, and converted weights. 4 passes:
+    hflip @ TEST.SCALE, scale 64 (+hflip), identity."""
+    model, variables, batch, path = ref_setup
+    ref_test = _import_core_test()
+
+    h, w = IMAGE_HW
+    rng = np.random.RandomState(13)
+    im_bgr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    boxes = batch["rois"][:N_VALID]
+    masks7 = batch["masks"][:N_VALID]
+
+    rcfg = ref_test.cfg
+    rcfg.immutable(False)
+    rcfg.MODEL.NUM_CLASSES = 20
+    rcfg.REFINE_TIMES = 3
+    rcfg.DEDUP_BOXES = 0.0
+    rcfg.TEST.SCALE = w  # max side == w -> im_scale 1.0 on the identity pass
+    rcfg.TEST.MAX_SIZE = 2000
+    rcfg.TEST.BBOX_AUG.ENABLED = True
+    rcfg.TEST.BBOX_AUG.H_FLIP = True
+    rcfg.TEST.BBOX_AUG.SCALES = (64,)
+    rcfg.TEST.BBOX_AUG.MAX_SIZE = 2000
+    rcfg.TEST.BBOX_AUG.SCALE_H_FLIP = True
+    rcfg.TEST.BBOX_AUG.ASPECT_RATIOS = ()
+    rcfg.TEST.BBOX_AUG.SCORE_HEUR = "AVG"
+    rcfg.TEST.BBOX_AUG.COORD_HEUR = "ID"
+
+    model.eval()
+    wrapped = _UnwrapLists(model)
+    with torch.no_grad(), _np_float_alias():
+        want_scores, want_boxes, _, _ = ref_test.im_detect_bbox_aug(
+            wrapped, im_bgr, box_proposals=boxes, masks=masks7,
+            # mat is dead at eval (im_detect_bbox overwrites it with
+            # np.array([0]), test.py:108) but the hflip pass .copy()s it
+            mat=np.zeros((N_VALID, 21), np.float32),
+            path=path, flag="ToTensor",
+            labels=np.zeros((1, 20), np.float32),
+        )
+
+    from cim_tpu.engine.test import Evaluator
+
+    cfg = _our_cfg()
+    cfg.transform_mode = "ToTensor"
+    cfg.TEST.SCALE = w
+    cfg.TEST.MAX_SIZE = 2000
+    cfg.TEST.BBOX_AUG.ENABLED = True
+    cfg.TEST.BBOX_AUG.H_FLIP = True
+    cfg.TEST.BBOX_AUG.SCALES = (64,)
+    cfg.TEST.BBOX_AUG.MAX_SIZE = 2000
+    cfg.TEST.BBOX_AUG.SCALE_H_FLIP = True
+    cfg.TEST.BBOX_AUG.ASPECT_RATIOS = ()
+    cfg.TEST.BBOX_AUG.SCORE_HEUR = "AVG"
+    cfg.TEST.BBOX_AUG.COORD_HEUR = "ID"
+
+    jmodel = build_model(cfg)
+    ev = Evaluator(cfg, jmodel, variables)
+    got_scores, got_boxes = ev.im_detect_all(im_bgr, boxes, masks7)
+
+    np.testing.assert_allclose(
+        got_scores, want_scores, rtol=2e-3, atol=2e-4,
+        err_msg="TTA scores diverged from the executed reference chain",
+    )
+    np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-6)
