@@ -176,6 +176,31 @@ def _cpu_cuda():
         torch.Tensor.cuda = orig
 
 
+def _tv_resnet50(pretrained=False):
+    """torchvision.models.resnet50 stand-in: the reference delegates its
+    trunk entirely to torchvision (resnet50.py:20) and only slices it
+    into res1..res4 Sequentials (:26-33). The stand-in reproduces the
+    torchvision-v1.5 architecture + state_dict naming with the same
+    Bottleneck the transliterated oracle uses (tests/oracle_model.py),
+    so the *executed* reference code contributes the slicing, freezing,
+    permanently-eval-BN and MaskFuse semantics."""
+    import torch.nn as nn
+
+    from tests.oracle_model import _stage
+
+    assert not pretrained  # no zoo download in tests
+    m = types.SimpleNamespace()
+    m.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+    m.bn1 = nn.BatchNorm2d(64)
+    m.relu = nn.ReLU(inplace=True)
+    m.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+    m.layer1 = _stage(64, 64, 3, 1)
+    m.layer2 = _stage(256, 128, 4, 2)
+    m.layer3 = _stage(512, 256, 6, 2)
+    m.layer4 = _stage(1024, 512, 3, 2)
+    return m
+
+
 def _import_model_builder():
     """Import the reference modeling.model_builder with stub modules."""
     stubs = {}
@@ -198,6 +223,7 @@ def _import_model_builder():
     ops.nms = _never
     tv.ops = ops
     tv.models = types.ModuleType("torchvision.models")
+    tv.models.resnet50 = _tv_resnet50
     tr = types.ModuleType("torchvision.transforms")
     tr.__path__ = []  # mark as package for the .functional import
     trf = types.ModuleType("torchvision.transforms.functional")
@@ -230,6 +256,7 @@ def _import_model_builder():
         # pre-import what Generalized_RCNN.__init__ resolves lazily via
         # get_func (model_builder.py:16-34) — the stubs are gone by then
         importlib.import_module("modeling.vgg16")
+        importlib.import_module("modeling.resnet50")
     finally:
         sys.path.remove(REF_LIB)
         for k, v in had.items():
@@ -335,9 +362,9 @@ class _UnwrapLists(torch.nn.Module):
         return self.model(**un)
 
 
-def _our_cfg():
+def _our_cfg(conv_body="vgg16.dilated_conv5_body"):
     cfg = clone_cfg(get_default_cfg())
-    cfg.MODEL.CONV_BODY = "vgg16.dilated_conv5_body"
+    cfg.MODEL.CONV_BODY = conv_body
     cfg.MODEL.NUM_CLASSES = 20
     cfg.REFINE_TIMES = 3
     cfg.p_seed = 0.4
@@ -424,6 +451,71 @@ def ref_setup(tmp_path_factory):
     return model, variables, batch, path
 
 
+@pytest.fixture(scope="module")
+def ref_setup_resnet(tmp_path_factory):
+    """The FLAGSHIP body: reference Generalized_RCNN with
+    resnet50.torch_resnet50 + resnet50.MaskFuse (configs/resnet50_voc.yaml:3)
+    — res1..res4 slicing, FREEZE_AT, permanently-eval BatchNorm
+    (resnet50.py:53-77) — with randomized BN statistics so the
+    running-stats conversion path is exercised for real."""
+    mb, cfg_mod = _import_model_builder()
+    rcfg = cfg_mod.cfg
+    rcfg.immutable(False)
+    rcfg.MODEL.NUM_CLASSES = 20
+    rcfg.MODEL.CONV_BODY = "resnet50.torch_resnet50"
+    rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
+    rcfg.FAST_RCNN.ROI_BOX_HEAD = "resnet50.MaskFuse"
+    rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
+    rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+    rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
+    rcfg.REFINE_TIMES = 3
+    rcfg.p_seed = 0.4
+    rcfg.step_rate = 0.05
+    rcfg.Anti_noise_sampling = False
+    rcfg.VGG_CLS_FEATURE = False
+    rcfg.HRNET_CLS_FEATURE = False
+    rcfg.TRAIN.FREEZE_CONV_BODY = False
+    rcfg.ResNet.FREEZE_AT = 2
+
+    tmp = tmp_path_factory.mktemp("ioumaps_r50")
+    iou_dir = tmp / "iou"
+    asy_dir = tmp / "asy"
+    iou_dir.mkdir()
+    asy_dir.mkdir()
+    rcfg.iou_dir = str(iou_dir)
+    rcfg.asy_iou_dir = str(asy_dir)
+
+    torch.manual_seed(1)
+    model = mb.Generalized_RCNN()
+    with torch.no_grad():  # non-trivial BN stats/affine for the converter
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0.0, 0.1)
+
+    rng = np.random.RandomState(17)
+    batch = make_microbatch(
+        rng, image_hw=IMAGE_HW, n_props=N_PAD, n_valid=N_VALID,
+        num_classes=20, n_labels=3, mask_grid=64,
+    )
+    name = "fixture_r50"
+    with open(iou_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(batch["iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
+    with open(asy_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(batch["asy_iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
+    path = os.path.join("/nonexistent", name + ".jpg")
+
+    from cim_tpu.utils.torch_weights import convert_reference_checkpoint
+
+    variables = convert_reference_checkpoint(
+        model.state_dict(), conv_body="resnet50", refine_times=3
+    )
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables, batch, path
+
+
 def _torch_inputs(batch, training):
     image = torch.from_numpy(
         np.ascontiguousarray(batch["image"].transpose(2, 0, 1))
@@ -446,11 +538,11 @@ def _torch_inputs(batch, training):
     return image, rois, masks, labels, gtrois, mat, index
 
 
-def test_eval_refine_scores_match_reference_model(ref_setup):
-    """Eval forward: data -> dilated VGG16 -> mmcv-RoIAlign MaskFuse ->
+def _eval_parity(setup, conv_body):
+    """Eval forward: data -> conv body -> mmcv-RoIAlign MaskFuse ->
     cls_iou heads -> testing_function (model_builder.py:60-68), reference
     executed vs the flax stack with converted weights."""
-    model, variables, batch, path = ref_setup
+    model, variables, batch, path = setup
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
         batch, training=False
     )
@@ -459,7 +551,7 @@ def test_eval_refine_scores_match_reference_model(ref_setup):
         rd = model(image, rois, masks, labels, gtrois, mat, path=path)
     want = [r.numpy() for r in rd["refine_score"]]  # K x (N, C) no-bg scores
 
-    cfg = _our_cfg()
+    cfg = _our_cfg(conv_body)
     jmodel = build_model(cfg)
     out = jax.jit(jmodel.apply)(
         variables,
@@ -480,12 +572,12 @@ def test_eval_refine_scores_match_reference_model(ref_setup):
         )
 
 
-def test_train_losses_match_reference_model(ref_setup):
+def _train_parity(setup, conv_body):
     """Training forward: the reference's own loss assembly
     (model_builder.py:161-207 — per-branch CIM_layer with threshold ramp,
     lambda=3 on branch 0, iou x3, mil_bag_loss + PCL_loss accumulation,
     iou-pkl reads) executed end to end vs engine.train.compute_losses."""
-    model, variables, batch, path = ref_setup
+    model, variables, batch, path = setup
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
         batch, training=True
     )
@@ -499,7 +591,7 @@ def test_train_losses_match_reference_model(ref_setup):
     assert want["cls_loss"] != 0.0 and want["bag_loss"] != 0.0
     assert want["pcl_loss"] != 0.0
 
-    cfg = _our_cfg()
+    cfg = _our_cfg(conv_body)
     jmodel = build_model(cfg)
 
     def loss_fn(batch_j):
@@ -517,6 +609,22 @@ def test_train_losses_match_reference_model(ref_setup):
             got[key], want[key], rtol=5e-3, atol=5e-4,
             err_msg=f"{key} diverged from the executed reference assembly",
         )
+
+
+def test_eval_refine_scores_match_reference_model(ref_setup):
+    _eval_parity(ref_setup, "vgg16.dilated_conv5_body")
+
+
+def test_train_losses_match_reference_model(ref_setup):
+    _train_parity(ref_setup, "vgg16.dilated_conv5_body")
+
+
+def test_eval_refine_scores_match_reference_model_resnet(ref_setup_resnet):
+    _eval_parity(ref_setup_resnet, "resnet50.torch_resnet50")
+
+
+def test_train_losses_match_reference_model_resnet(ref_setup_resnet):
+    _train_parity(ref_setup_resnet, "resnet50.torch_resnet50")
 
 
 def test_tta_eval_matches_executed_reference_chain(ref_setup):
