@@ -142,8 +142,13 @@ def box_voting_np(top_dets, all_dets, thresh, scoring_method="ID", beta=1.0):
         if scoring_method == "ID":
             pass
         elif scoring_method == "TEMP_AVG":
-            p = 1.0 / (1.0 + np.exp(-all_scores[inds] / beta))
-            out[k, 4] = np.log(p.mean() / (1 - p.mean() + 1e-12)) * beta
+            # temperature-smooth each (p, 1-p) binary distribution, then
+            # average the positive component (reference box_voting,
+            # lib/utils/boxes.py:288-299) — scores ARE probabilities here
+            p2 = np.vstack((ws, 1.0 - ws))
+            x = np.log(p2 / p2.max(axis=0))
+            x_exp = np.exp(x / beta)
+            out[k, 4] = (x_exp / x_exp.sum(axis=0))[0].mean()
         elif scoring_method == "AVG":
             out[k, 4] = ws.mean()
         elif scoring_method == "IOU_AVG":

@@ -245,3 +245,85 @@ def test_flip_and_convert_parity(ref_test, seed):
         bu.xywh_to_xyxy(bu.xyxy_to_xywh(boxes)),
         rtol=1e-6,
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bbox_transform_parity(ref_test, seed):
+    """Executed utils.boxes.bbox_transform (lib/utils/boxes.py:156-197):
+    delta application incl. the BBOX_XFORM_CLIP=log(1000/8) exp guard and
+    the detectron +1/-1 width convention."""
+    bu = ref_test.box_utils
+    rng = np.random.RandomState(50 + seed)
+    n = 64
+    x1 = rng.uniform(0, 300, n)
+    y1 = rng.uniform(0, 200, n)
+    boxes = np.stack(
+        [x1, y1, x1 + rng.uniform(5, 90, n), y1 + rng.uniform(5, 90, n)], 1
+    ).astype(np.float32)
+    deltas = rng.normal(0, 1.0, (n, 4)).astype(np.float32)
+    deltas[:5, 2:] = 10.0  # exercise the exp clip
+
+    from cim_tpu.ops.boxes import bbox_transform
+
+    want = bu.bbox_transform(boxes.copy(), deltas.copy(), (1.0, 1.0, 1.0, 1.0))
+    got = np.asarray(bbox_transform(boxes, deltas))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    w = (2.0, 1.5, 0.8, 1.2)
+    np.testing.assert_allclose(
+        np.asarray(bbox_transform(boxes, deltas, w)),
+        bu.bbox_transform(boxes.copy(), deltas.copy(), w),
+        rtol=1e-4, atol=1e-3,
+    )
+
+
+@pytest.mark.parametrize("method,beta", [
+    ("ID", 1.0), ("TEMP_AVG", 0.7), ("AVG", 1.0), ("IOU_AVG", 1.0),
+    ("GENERALIZED_AVG", 2.0), ("QUASI_SUM", 1.3),
+])
+def test_box_voting_parity(ref_test, method, beta):
+    """Executed utils.boxes.box_voting (lib/utils/boxes.py:268-318), every
+    scoring method. This caught a real transliteration bug: our TEMP_AVG
+    had re-derived a logit-space formula where the reference temperature-
+    smooths the (p, 1-p) distribution and returns a probability."""
+    bu = ref_test.box_utils
+    rng = np.random.RandomState(60)
+    n_top, n_all = 12, 80
+    x1 = rng.uniform(0, 200, n_all)
+    y1 = rng.uniform(0, 150, n_all)
+    all_dets = np.concatenate(
+        [
+            np.stack([x1, y1, x1 + rng.uniform(20, 80, n_all),
+                      y1 + rng.uniform(20, 80, n_all)], 1),
+            rng.uniform(0.05, 0.95, (n_all, 1)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    top_dets = all_dets[rng.choice(n_all, n_top, replace=False)].copy()
+
+    from cim_tpu.ops.boxes import box_voting_np
+
+    want = bu.box_voting(top_dets.copy(), all_dets.copy(), 0.5, method, beta)
+    got = box_voting_np(top_dets.copy(), all_dets.copy(), 0.5, method, beta)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_clip_and_aspect_parity(ref_test):
+    """Executed utils.boxes clip_boxes_to_image / aspect_ratio."""
+    bu = ref_test.box_utils
+    rng = np.random.RandomState(70)
+    n = 40
+    boxes = rng.uniform(-50, 450, (n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2])
+
+    from cim_tpu.ops.boxes import aspect_ratio, clip_boxes
+
+    want = bu.clip_boxes_to_image(boxes.copy(), 300, 400)
+    got = np.asarray(clip_boxes(boxes, 300, 400))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    np.testing.assert_allclose(
+        np.asarray(aspect_ratio(boxes, 0.75)),
+        bu.aspect_ratio(boxes.copy(), 0.75),
+        rtol=1e-6,
+    )
