@@ -50,16 +50,25 @@ def rasterize_one(payload):
     proposals = mat[:, 0] if mat.ndim == 2 else mat
     masks = np.stack([np.asarray(p, bool) for p in proposals])
     n = masks.shape[0]
-    boxes = np.zeros((n, 4), np.float32)
+    # crop with INCLUSIVE extents; the STORED boxes use the reference's
+    # exclusive-max convention [xmin, ymin, xmax+1, ymax+1] uint16
+    # (generate_7_7_voc.py:36-40) — the downstream clip in json_dataset
+    # only trims the border-touching case, so interior training boxes
+    # genuinely carry the +1 and exact reproduction requires it
+    incl = np.zeros((n, 4), np.float32)
     for i in range(n):
         ys, xs = np.nonzero(masks[i])
         if len(ys) == 0:
             continue
-        boxes[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
-    small = masks_to_7x7(masks, boxes) if mask_size == 7 else _resize(
-        masks, boxes, mask_size
+        incl[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    small = masks_to_7x7(masks, incl) if mask_size == 7 else _resize(
+        masks, incl, mask_size
     )
-    scores = np.linspace(1.0, 0.0, n, dtype=np.float32)  # COB rank order
+    boxes = incl.astype(np.uint16)
+    boxes[:, 2:] += 1
+    # reference emits all-zero scores (generate_7_7_voc.py:33); nothing in
+    # the pipeline consumes them, but the pkl format matches exactly
+    scores = np.zeros(n)
     return img_id, boxes, small.astype(bool), scores
 
 
