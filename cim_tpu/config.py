@@ -240,6 +240,11 @@ def get_default_cfg() -> AttrDict:
     # fused TTA: ship the ORIGINAL image once and derive all TTA passes
     # on-device in one compiled program (engine.test._fused_forward)
     c.TPU.FUSED_TTA = True
+    # in-process multi-device eval: partition the stacked EVAL_BATCH axis
+    # over a Mesh("dp") of this many local devices (-1 = all; 1 = off).
+    # Replaces the reference's DataParallel-wrapped test model
+    # (test_engine.py:354); composes with --range process sharding.
+    c.TPU.EVAL_DEVICES = 1
 
     return c
 

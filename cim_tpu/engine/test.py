@@ -427,12 +427,32 @@ class BatchedEvaluator(Evaluator):
     anything else falls back to the sequential path per image.
     """
 
-    def __init__(self, cfg, model, variables, batch_size: int | None = None):
+    def __init__(self, cfg, model, variables, batch_size: int | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh("dp") — the stacked batch axis
+        is partitioned over its devices (each device runs batch/n images
+        of the identical per-image program). This is the in-process
+        multi-device eval the reference gets from wrapping the test model
+        in DataParallel (test_engine.py:354, scatter over GPUs); here it
+        is one SPMD program, composable with `--range` process sharding.
+        batch_size is rounded up to a multiple of the mesh size so the
+        padded stack splits evenly."""
         super().__init__(cfg, model, variables)
         self.batch_size = int(batch_size or cfg.TPU.EVAL_BATCH)
-        self._apply_batched = jax.jit(
-            jax.vmap(self._forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
-        )
+        self.mesh = mesh
+        vmapped = jax.vmap(self._forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        if mesh is not None:
+            from cim_tpu.parallel import batch_sharding, replicated
+
+            n_dev = mesh.devices.size
+            self.batch_size = -(-self.batch_size // n_dev) * n_dev
+            bs, rep = batch_sharding(mesh), replicated(mesh)
+            self.variables = jax.device_put(self.variables, rep)
+            self._shardings = (rep,) + (bs,) * 6
+            self._apply_batched = jax.jit(vmapped, in_shardings=self._shardings)
+        else:
+            self._shardings = None
+            self._apply_batched = jax.jit(vmapped)
         self._apply_fused_b = {}  # ratio_hw -> vmapped all-passes program
 
     def _batched_supported(self):
@@ -466,11 +486,14 @@ class BatchedEvaluator(Evaluator):
 
     def _fused_batched_jit(self, ratio_hw):
         if ratio_hw not in self._apply_fused_b:
-            self._apply_fused_b[ratio_hw] = jax.jit(
-                jax.vmap(
-                    functools.partial(self._fused_forward, ratio_hw=ratio_hw),
-                    in_axes=(None, 0, 0, 0, 0, 0, 0),
-                )
+            vmapped = jax.vmap(
+                functools.partial(self._fused_forward, ratio_hw=ratio_hw),
+                in_axes=(None, 0, 0, 0, 0, 0, 0),
+            )
+            self._apply_fused_b[ratio_hw] = (
+                jax.jit(vmapped, in_shardings=self._shardings)
+                if self._shardings is not None
+                else jax.jit(vmapped)
             )
         return self._apply_fused_b[ratio_hw]
 

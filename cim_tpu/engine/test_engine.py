@@ -81,9 +81,19 @@ def test_net(
 
     eval_batch = int(cfg.TPU.EVAL_BATCH or 1)
     if eval_batch > 1:
-        # cross-image batched TTA (engine.test.BatchedEvaluator)
-        evaluator = BatchedEvaluator(cfg, model, variables, eval_batch)
-        window = 4 * eval_batch
+        # cross-image batched TTA (engine.test.BatchedEvaluator);
+        # TPU.EVAL_DEVICES != 1 additionally partitions the batch axis
+        # over local devices (reference: DataParallel test model,
+        # lib/core/test_engine.py:354)
+        n_dev = int(getattr(cfg.TPU, "EVAL_DEVICES", 1) or 1)
+        mesh = None
+        if n_dev != 1:
+            from cim_tpu.parallel import data_parallel_mesh
+
+            mesh = data_parallel_mesh(None if n_dev < 0 else n_dev)
+        evaluator = BatchedEvaluator(cfg, model, variables, eval_batch,
+                                     mesh=mesh)
+        window = 4 * evaluator.batch_size
         for w0 in range(0, num_images, window):
             chunk = roidb[w0 : w0 + window]
             items = [

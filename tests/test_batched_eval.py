@@ -173,3 +173,32 @@ def test_ratio_bucket_canvas_always_bounds_content():
             ovh = int(round(float(np.float32(h) * s)))
             ovw = int(round(float(np.float32(w) * s)))
             assert ovh <= ch and ovw <= cw, ((h, w), t, (ovh, ovw), (ch, cw))
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_mesh_sharded_batched_matches_single_device(rng, fused):
+    """mesh=Mesh("dp"): the stacked batch axis partitions over devices —
+    the in-process multi-device eval the reference gets from
+    DataParallel-wrapping the test model (test_engine.py:354). Pure
+    scheduling: per-image scores must match the unsharded evaluator."""
+    from cim_tpu.parallel import data_parallel_mesh
+
+    cfg = _cfg(fused=fused)
+    model = build_model(cfg)
+    items = _items(rng, 6)
+    im0, b0, m0 = items[0]
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((96, 128, 3), np.float32),
+        b0, m0, np.ones(len(b0), bool),
+    )
+
+    want = BatchedEvaluator(cfg, model, variables, 4).im_detect_all_many(items)
+
+    mesh = data_parallel_mesh(4)
+    ev = BatchedEvaluator(cfg, model, variables, 3, mesh=mesh)
+    assert ev.batch_size == 4  # rounded up to the mesh size
+    got = ev.im_detect_all_many(items)
+
+    for (gs, gb), (ws, wb) in zip(got, want):
+        np.testing.assert_array_equal(gb, wb)
+        np.testing.assert_allclose(gs, ws, rtol=1e-5, atol=1e-6)

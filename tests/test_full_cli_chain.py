@@ -121,13 +121,15 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
     root = disk_dataset
     out_dir = root / "out"
 
-    def run(args, timeout=560):
+    def run(args, timeout=560, xla_flags=None):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = REPO
         env["CIM_TPU_NO_CACHE"] = "1"
         env["CIM_TPU_DATASET_REGISTRY"] = str(root / "registry.json")
         env.pop("XLA_FLAGS", None)
+        if xla_flags:
+            env["XLA_FLAGS"] = xla_flags
         return subprocess.run(
             [sys.executable] + args, cwd=REPO, env=env, capture_output=True,
             text=True, timeout=timeout,
@@ -162,12 +164,17 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
     assert out.returncode == 0, out.stderr[-4000:]
     assert (out_dir / "ckpt").is_dir()
 
-    # 2. inference + detection eval (COCO bbox) from the checkpoint
+    # 2. inference + detection eval (COCO bbox) from the checkpoint —
+    # through the mesh-sharded batched evaluator (TPU.EVAL_DEVICES): the
+    # stacked batch axis partitions over 4 of 8 forced CPU devices,
+    # driving the in-process multi-device eval path end to end
     out = run(
         ["tools/test_net.py", "--cfg", "configs/resnet50_voc.yaml",
          "--load_ckpt", str(out_dir / "ckpt"),
          "--output_dir", str(out_dir / "test")]
         + common_sets
+        + ["TPU.EVAL_BATCH", "4", "TPU.EVAL_DEVICES", "4"],
+        xla_flags="--xla_force_host_platform_device_count=8",
     )
     assert out.returncode == 0, out.stderr[-4000:]
     det_file = out_dir / "test" / "detections.pkl"
