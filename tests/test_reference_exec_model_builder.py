@@ -386,30 +386,36 @@ def ref_setup(tmp_path_factory):
     """Reference Generalized_RCNN + converted flax variables + fixtures."""
     mb, cfg_mod = _import_model_builder()
     rcfg = cfg_mod.cfg
-    rcfg.immutable(False)
-    rcfg.MODEL.NUM_CLASSES = 20
-    rcfg.MODEL.CONV_BODY = "vgg16.dilated_conv5_body"
-    rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
-    rcfg.FAST_RCNN.ROI_BOX_HEAD = "vgg16.MaskFuse"
-    rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
-    rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
-    rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
-    rcfg.REFINE_TIMES = 3
-    rcfg.p_seed = 0.4
-    rcfg.step_rate = 0.05
-    rcfg.Anti_noise_sampling = False
-    rcfg.VGG_CLS_FEATURE = False
-    rcfg.HRNET_CLS_FEATURE = False
-    rcfg.TRAIN.FREEZE_CONV_BODY = False
-    rcfg.VGG.FREEZE_AT = 2
 
     tmp = tmp_path_factory.mktemp("ioumaps")
     iou_dir = tmp / "iou"
     asy_dir = tmp / "asy"
     iou_dir.mkdir()
     asy_dir.mkdir()
-    rcfg.iou_dir = str(iou_dir)
-    rcfg.asy_iou_dir = str(asy_dir)
+
+    def apply_rcfg():
+        # the reference cfg is a process GLOBAL the two fixtures share;
+        # every test re-applies its fixture's settings first
+        rcfg.immutable(False)
+        rcfg.MODEL.NUM_CLASSES = 20
+        rcfg.MODEL.CONV_BODY = "vgg16.dilated_conv5_body"
+        rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
+        rcfg.FAST_RCNN.ROI_BOX_HEAD = "vgg16.MaskFuse"
+        rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
+        rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+        rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
+        rcfg.REFINE_TIMES = 3
+        rcfg.p_seed = 0.4
+        rcfg.step_rate = 0.05
+        rcfg.Anti_noise_sampling = False
+        rcfg.VGG_CLS_FEATURE = False
+        rcfg.HRNET_CLS_FEATURE = False
+        rcfg.TRAIN.FREEZE_CONV_BODY = False
+        rcfg.VGG.FREEZE_AT = 2
+        rcfg.iou_dir = str(iou_dir)
+        rcfg.asy_iou_dir = str(asy_dir)
+
+    apply_rcfg()
 
     torch.manual_seed(0)
     model = mb.Generalized_RCNN()
@@ -427,9 +433,13 @@ def ref_setup(tmp_path_factory):
         pickle.dump(batch["asy_iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
     path = os.path.join("/nonexistent", name + ".jpg")
 
-    # convert the torch weights -> flax params (conv body key remap as in
-    # tests/test_reference_exec_backbones.py)
-    sd = model.state_dict()
+    variables = jax.tree.map(jnp.asarray, {"params": _convert_vgg_tree(model.state_dict())})
+    return model, variables, batch, path, apply_rcfg
+
+
+def _convert_vgg_tree(sd):
+    """Reference state_dict (or an equally-shaped gradient dict) -> flax
+    param tree; conv-body key remap as in tests/test_reference_exec_backbones."""
     ref_keys = [
         f"conv{g}.{i}" for g, idxs in
         [(1, (0, 2)), (2, (0, 2)), (3, (0, 2, 4)), (4, (0, 2, 4)),
@@ -440,15 +450,11 @@ def ref_setup(tmp_path_factory):
     for ref_k, (pname, fidx) in zip(ref_keys, _VGG_FEATURE_IDX.items()):
         sd2[f"features.{fidx}.weight"] = sd[f"Conv_Body.{ref_k}.weight"]
         sd2[f"features.{fidx}.bias"] = sd[f"Conv_Body.{ref_k}.bias"]
-    variables = {
-        "params": {
-            "conv_body": convert_vgg16(sd2),
-            "box_head": convert_mask_fuse(sd),
-            "cls_iou": convert_cls_iou_heads(sd, refine_times=3),
-        }
+    return {
+        "conv_body": convert_vgg16(sd2),
+        "box_head": convert_mask_fuse(sd),
+        "cls_iou": convert_cls_iou_heads(sd, refine_times=3),
     }
-    variables = jax.tree.map(jnp.asarray, variables)
-    return model, variables, batch, path
 
 
 @pytest.fixture(scope="module")
@@ -460,30 +466,34 @@ def ref_setup_resnet(tmp_path_factory):
     running-stats conversion path is exercised for real."""
     mb, cfg_mod = _import_model_builder()
     rcfg = cfg_mod.cfg
-    rcfg.immutable(False)
-    rcfg.MODEL.NUM_CLASSES = 20
-    rcfg.MODEL.CONV_BODY = "resnet50.torch_resnet50"
-    rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
-    rcfg.FAST_RCNN.ROI_BOX_HEAD = "resnet50.MaskFuse"
-    rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
-    rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
-    rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
-    rcfg.REFINE_TIMES = 3
-    rcfg.p_seed = 0.4
-    rcfg.step_rate = 0.05
-    rcfg.Anti_noise_sampling = False
-    rcfg.VGG_CLS_FEATURE = False
-    rcfg.HRNET_CLS_FEATURE = False
-    rcfg.TRAIN.FREEZE_CONV_BODY = False
-    rcfg.ResNet.FREEZE_AT = 2
 
     tmp = tmp_path_factory.mktemp("ioumaps_r50")
     iou_dir = tmp / "iou"
     asy_dir = tmp / "asy"
     iou_dir.mkdir()
     asy_dir.mkdir()
-    rcfg.iou_dir = str(iou_dir)
-    rcfg.asy_iou_dir = str(asy_dir)
+
+    def apply_rcfg():
+        rcfg.immutable(False)
+        rcfg.MODEL.NUM_CLASSES = 20
+        rcfg.MODEL.CONV_BODY = "resnet50.torch_resnet50"
+        rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
+        rcfg.FAST_RCNN.ROI_BOX_HEAD = "resnet50.MaskFuse"
+        rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
+        rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+        rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
+        rcfg.REFINE_TIMES = 3
+        rcfg.p_seed = 0.4
+        rcfg.step_rate = 0.05
+        rcfg.Anti_noise_sampling = False
+        rcfg.VGG_CLS_FEATURE = False
+        rcfg.HRNET_CLS_FEATURE = False
+        rcfg.TRAIN.FREEZE_CONV_BODY = False
+        rcfg.ResNet.FREEZE_AT = 2
+        rcfg.iou_dir = str(iou_dir)
+        rcfg.asy_iou_dir = str(asy_dir)
+
+    apply_rcfg()
 
     torch.manual_seed(1)
     model = mb.Generalized_RCNN()
@@ -513,7 +523,7 @@ def ref_setup_resnet(tmp_path_factory):
         model.state_dict(), conv_body="resnet50", refine_times=3
     )
     variables = jax.tree.map(jnp.asarray, variables)
-    return model, variables, batch, path
+    return model, variables, batch, path, apply_rcfg
 
 
 def _torch_inputs(batch, training):
@@ -542,7 +552,8 @@ def _eval_parity(setup, conv_body):
     """Eval forward: data -> conv body -> mmcv-RoIAlign MaskFuse ->
     cls_iou heads -> testing_function (model_builder.py:60-68), reference
     executed vs the flax stack with converted weights."""
-    model, variables, batch, path = setup
+    model, variables, batch, path, apply_rcfg = setup
+    apply_rcfg()
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
         batch, training=False
     )
@@ -577,7 +588,8 @@ def _train_parity(setup, conv_body):
     (model_builder.py:161-207 — per-branch CIM_layer with threshold ramp,
     lambda=3 on branch 0, iou x3, mil_bag_loss + PCL_loss accumulation,
     iou-pkl reads) executed end to end vs engine.train.compute_losses."""
-    model, variables, batch, path = setup
+    model, variables, batch, path, apply_rcfg = setup
+    apply_rcfg()
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
         batch, training=True
     )
@@ -611,6 +623,133 @@ def _train_parity(setup, conv_body):
         )
 
 
+class _RoIAlignDiffShim:
+    """mmcv.ops.RoIAlign-shaped wrapper over the differentiable torch
+    RoIAlign (tests/oracle_model.TorchRoIAlignDiff) so torch autograd
+    flows through the reference model's roi_feature_transform; drops the
+    batch-index column the reference prepends."""
+
+    def __init__(self, output_size, spatial_scale=1.0, sampling_ratio=0,
+                 *args, **kwargs):
+        from tests.oracle_model import TorchRoIAlignDiff
+
+        self.inner = TorchRoIAlignDiff(
+            output_size, float(spatial_scale), int(sampling_ratio)
+        )
+
+    def __call__(self, feat, rois):
+        # the reference MaskFuse .view()s the output: make it contiguous
+        return self.inner(feat, rois[:, 1:5]).contiguous()
+
+
+def _train_grad_parity(setup, conv_body, convert_grads):
+    """END-TO-END BACKWARD parity vs the *executed* reference model:
+    d(sum of losses)/d(params) through the reference's OWN forward +
+    loss assembly (model_builder.py:161-207) under torch autograd,
+    compared per-leaf against jax.grad of engine.train.compute_losses
+    with the same converter the checkpoints use (layout transposes are
+    linear, so gradients map identically).
+
+    tests/test_full_pipeline_parity.py pins gradients against the
+    transliterated oracle; this closes the last transliteration
+    dependency in the backward chain — the only non-reference code in
+    the torch graph is the differentiable RoIAlign stand-in (same mmcv
+    spec the forward shim transliterates from the CUDA kernel).
+
+    Frozen leaves (reference FREEZE_AT via requires_grad=False) are
+    compared as raw-gradient-only on the jax side, mirroring that our
+    freezing lives in the optimizer mask, not in grad computation."""
+    model, variables, batch, path, apply_rcfg = setup
+    apply_rcfg()
+    image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
+        batch, training=True
+    )
+    mb_mod = sys.modules["modeling.model_builder"]
+    old_ra = mb_mod.RoIAlign
+    mb_mod.RoIAlign = _RoIAlignDiffShim
+    model.train()
+    model.zero_grad(set_to_none=True)
+    try:
+        with _cpu_cuda():
+            rd = model(
+                image, rois, masks, labels, gtrois, mat, path=path,
+                index=index,
+            )
+        total = sum(rd["losses"].values())
+        assert float(total.detach()) > 0
+        total.backward()
+    finally:
+        mb_mod.RoIAlign = old_ra
+
+    frozen = {n for n, p in model.named_parameters() if not p.requires_grad}
+    assert frozen, "fixture must exercise FREEZE_AT"
+    grads_sd = {
+        n: (torch.zeros_like(p) if p.grad is None else p.grad)
+        for n, p in model.named_parameters()
+    }
+    grads_sd.update(dict(model.named_buffers()))
+    g_torch = convert_grads(grads_sd)
+    frozen_map = {
+        n: torch.full_like(p, float(n in frozen))
+        for n, p in model.named_parameters()
+    }
+    frozen_map.update(
+        {n: torch.zeros_like(b) for n, b in model.named_buffers()}
+    )
+    frozen_t = convert_grads(frozen_map)
+
+    cfg = _our_cfg(conv_body)
+    jmodel = build_model(cfg)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    stats = variables.get("stats", {})
+
+    def total_loss(params):
+        v = {"params": params}
+        if stats:
+            v["stats"] = stats
+        out = jmodel.apply(
+            v, batch_j["image"], batch_j["rois"], batch_j["masks"],
+            batch_j["valid"],
+        )
+        l = compute_losses(cfg, out, batch_j, jax.random.PRNGKey(0))
+        return l["bag_loss"] + l["pcl_loss"] + l["cls_loss"] + l["iou_loss"]
+
+    g_jax = jax.jit(jax.grad(total_loss))(variables["params"])
+
+    flat_t = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, g_torch)
+    )[0]
+    flat_j = {
+        jax.tree_util.keystr(kp): np.asarray(v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(g_jax)[0]
+    }
+    flat_frozen = {
+        jax.tree_util.keystr(kp): bool(np.asarray(v).flat[0])
+        for kp, v in jax.tree_util.tree_flatten_with_path(
+            jax.tree.map(np.asarray, frozen_t)
+        )[0]
+    }
+    assert len(flat_t) == len(flat_j)
+    checked = nonzero = 0
+    for kp, gt in flat_t:
+        key = jax.tree_util.keystr(kp)
+        if flat_frozen.get(key):
+            checked += 1  # torch grad is None by requires_grad; ours raw
+            continue
+        gj = flat_j[key]
+        assert gj.shape == gt.shape, key
+        nt, nj = np.linalg.norm(gt), np.linalg.norm(gj)
+        if nt < 1e-7 and nj < 1e-7:
+            checked += 1
+            continue
+        rel = np.linalg.norm(gj - gt) / (nt + 1e-12)
+        assert rel < 2e-2, f"{key}: rel-L2 {rel:.4g} (|g|={nt:.3g})"
+        checked += 1
+        nonzero += 1
+    assert checked == len(flat_t)
+    assert nonzero > 20, f"only {nonzero} nonzero grad leaves"
+
+
 def test_eval_refine_scores_match_reference_model(ref_setup):
     _eval_parity(ref_setup, "vgg16.dilated_conv5_body")
 
@@ -627,6 +766,22 @@ def test_train_losses_match_reference_model_resnet(ref_setup_resnet):
     _train_parity(ref_setup_resnet, "resnet50.torch_resnet50")
 
 
+def test_train_grads_match_reference_model(ref_setup):
+    _train_grad_parity(ref_setup, "vgg16.dilated_conv5_body",
+                       _convert_vgg_tree)
+
+
+def test_train_grads_match_reference_model_resnet(ref_setup_resnet):
+    from cim_tpu.utils.torch_weights import convert_reference_checkpoint
+
+    _train_grad_parity(
+        ref_setup_resnet, "resnet50.torch_resnet50",
+        lambda sd: convert_reference_checkpoint(
+            sd, conv_body="resnet50", refine_times=3
+        )["params"],
+    )
+
+
 def test_tta_eval_matches_executed_reference_chain(ref_setup):
     """Multi-scale + hflip TTA parity vs the *executed* reference chain:
     core/test.py im_detect_bbox_aug (blob prep, roi scaling, per-pass
@@ -635,7 +790,8 @@ def test_tta_eval_matches_executed_reference_chain(ref_setup):
     :218-227) against engine.test.Evaluator.im_detect_all on the same
     uint8 BGR image, proposals, and converted weights. 4 passes:
     hflip @ TEST.SCALE, scale 64 (+hflip), identity."""
-    model, variables, batch, path = ref_setup
+    model, variables, batch, path, apply_rcfg = ref_setup
+    apply_rcfg()
     ref_test = _import_core_test()
 
     h, w = IMAGE_HW
