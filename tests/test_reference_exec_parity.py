@@ -496,3 +496,62 @@ def test_forward_parity_branch_thresholds(ref_heads, k):
     np.testing.assert_allclose(
         np.asarray(got.loss_weights), lw.numpy(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_forward_anti_noise_distributional_parity(ref_heads):
+    """The one stochastic path: Anti_noise_sampling. The reference draws
+    numpy choice-with-replacement then unique per class (heads.py:452-466);
+    ours is CDF inversion over the jax PRNG (cim.py:anti_noise_resample) —
+    the same categorical distribution by construction, pinned here
+    EMPIRICALLY against the *executed* reference: over R independent
+    trials, each proposal's foreground-assignment frequency and mean loss
+    weight agree within sampling noise. A wrong weighting, a
+    wrong-universe resample, or a biased survivor rule shifts these
+    frequencies far beyond the tolerance."""
+    rng = np.random.RandomState(3)
+    cls, det, labels, iou, asy, rois = _instance(rng, n=40, n_labels=2)
+    n = cls.shape[0]
+    params = MiningParams(p_seed=0.1, cls_thr=0.25, iou_thr=0.5,
+                          con_thr=0.85, anti_noise=True)
+    layer = _ref_layer(ref_heads, anti_noise=True)
+
+    R = 300
+    ref_fg = np.zeros(n)
+    ref_w = np.zeros(n)
+    for t in range(R):
+        np.random.seed(10_000 + t)
+        pl, pil, lw = layer(
+            torch.from_numpy(cls), torch.from_numpy(det),
+            torch.from_numpy(rois), torch.from_numpy(labels)[None, :],
+            torch.from_numpy(iou), torch.from_numpy(asy), using_CIM=True,
+        )
+        ref_fg += (pl.numpy()[:, 1:].sum(-1) > 0).astype(np.float64)
+        ref_w += lw.numpy()
+    ref_fg /= R
+    ref_w /= R
+
+    import functools
+
+    jitted = jax.jit(functools.partial(cim_layer, params=params))
+    args = (jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+            jnp.asarray(iou), jnp.asarray(asy), jnp.ones(n, bool))
+    our_fg = np.zeros(n)
+    our_w = np.zeros(n)
+    for t in range(R):
+        got = jitted(*args, rng_key=jax.random.PRNGKey(t))
+        pl_j = np.asarray(got.pseudo_labels)
+        our_fg += (pl_j[:, 1:].sum(-1) > 0).astype(np.float64)
+        our_w += np.asarray(got.loss_weights)
+    our_fg /= R
+    our_w /= R
+
+    # the fixture must actually be stochastic (assignments vary)
+    varying = (ref_fg > 0.02) & (ref_fg < 0.98)
+    assert varying.sum() >= 3, f"fixture not stochastic: {ref_fg}"
+
+    # per-proposal: two independent binomial estimates, sd <= ~0.041 at
+    # R=300 -> 4.5 sigma combined ~ 0.26; mean-abs over proposals is the
+    # sharp statistic (noise averages down across n)
+    np.testing.assert_array_less(np.abs(our_fg - ref_fg), 0.26)
+    assert np.mean(np.abs(our_fg - ref_fg)) < 0.035
+    assert np.mean(np.abs(our_w - ref_w)) < 0.035
