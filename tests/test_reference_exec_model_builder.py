@@ -257,6 +257,7 @@ def _import_model_builder():
         # get_func (model_builder.py:16-34) — the stubs are gone by then
         importlib.import_module("modeling.vgg16")
         importlib.import_module("modeling.resnet50")
+        importlib.import_module("modeling.HRNet")
     finally:
         sys.path.remove(REF_LIB)
         for k, v in had.items():
@@ -526,6 +527,108 @@ def ref_setup_resnet(tmp_path_factory):
     return model, variables, batch, path, apply_rcfg
 
 
+@pytest.fixture(scope="module")
+def ref_setup_hrnet(tmp_path_factory):
+    """Third body: reference Generalized_RCNN with HRNet.get_HRNet +
+    HRNet.MaskFuse (configs/hrnet48_voc.yaml:3,78) — W48 multi-resolution
+    trunk, pad-to-32, permanently-eval BN (HRNet.py:338-366), 2048-ch
+    classification feature feeding the head (HRNET_CLS_FEATURE)."""
+    import yaml
+
+    mb, cfg_mod = _import_model_builder()
+    rcfg = cfg_mod.cfg
+    with open("/root/reference/configs/hrnet48_voc.yaml") as f:
+        extra = yaml.safe_load(f)["MODEL"]["EXTRA"]
+
+    tmp = tmp_path_factory.mktemp("ioumaps_hr")
+    iou_dir = tmp / "iou"
+    asy_dir = tmp / "asy"
+    iou_dir.mkdir()
+    asy_dir.mkdir()
+
+    def apply_rcfg():
+        rcfg.immutable(False)
+        rcfg.MODEL.NUM_CLASSES = 20
+        rcfg.MODEL.CONV_BODY = "HRNet.get_HRNet"
+        rcfg.MODEL.LOAD_IMAGENET_PRETRAINED_WEIGHTS = False
+        rcfg.MODEL.EXTRA = extra
+        rcfg.FAST_RCNN.ROI_BOX_HEAD = "HRNet.MaskFuse"
+        rcfg.FAST_RCNN.ROI_XFORM_METHOD = "RoIAlign"
+        rcfg.FAST_RCNN.ROI_XFORM_RESOLUTION = 7
+        rcfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO = 0
+        rcfg.REFINE_TIMES = 3
+        rcfg.p_seed = 0.4
+        rcfg.step_rate = 0.05
+        rcfg.Anti_noise_sampling = False
+        rcfg.VGG_CLS_FEATURE = False
+        rcfg.HRNET_CLS_FEATURE = True
+        rcfg.TRAIN.FREEZE_CONV_BODY = False
+        rcfg.HRNET.FREEZE_AT = 2
+        rcfg.iou_dir = str(iou_dir)
+        rcfg.asy_iou_dir = str(asy_dir)
+
+    apply_rcfg()
+
+    torch.manual_seed(2)
+    model = mb.Generalized_RCNN()
+    with torch.no_grad():  # non-trivial BN stats for the converter
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.2)
+                m.running_var.uniform_(0.7, 1.3)
+                m.weight.normal_(1.0, 0.1)
+                m.bias.normal_(0.0, 0.05)
+
+    rng = np.random.RandomState(23)
+    batch = make_microbatch(
+        rng, image_hw=IMAGE_HW, n_props=N_PAD, n_valid=N_VALID,
+        num_classes=20, n_labels=3, mask_grid=64,
+    )
+    name = "fixture_hr48"
+    with open(iou_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(batch["iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
+    with open(asy_dir / f"{name}.pkl", "wb") as f:
+        pickle.dump(batch["asy_iou_map"][:N_VALID, :N_VALID].astype(np.float32), f)
+    path = os.path.join("/nonexistent", name + ".jpg")
+
+    from cim_tpu.utils.torch_weights import convert_reference_checkpoint
+
+    variables = convert_reference_checkpoint(
+        model.state_dict(), conv_body="hrnet48", refine_times=3
+    )
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables, batch, path, apply_rcfg
+
+
+def _our_hrnet_cfg():
+    from cim_tpu.config import load_cfg
+
+    cfg = clone_cfg(load_cfg(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "hrnet48_voc.yaml")
+    ))
+    cfg.REFINE_TIMES = 3
+    cfg.p_seed = 0.4
+    cfg.step_rate = 0.05
+    cfg.adj_thr = 0.85
+    cfg.Anti_noise_sampling = False
+    cfg.TPU.PRECISION = "f32"
+    cfg.TPU.PROPOSAL_PAD = N_PAD
+    cfg.TPU.MAX_CLUSTERS = 8
+    cfg.TPU.PALLAS_ROI_ALIGN = False
+    cfg.TPU.REMAT_BOX_HEAD = False
+    cfg.TPU.MAX_ADAPTIVE_GRID = 3
+    return cfg
+
+
+def test_eval_refine_scores_match_reference_model_hrnet(ref_setup_hrnet):
+    _eval_parity(ref_setup_hrnet, cfg=_our_hrnet_cfg())
+
+
+def test_train_losses_match_reference_model_hrnet(ref_setup_hrnet):
+    _train_parity(ref_setup_hrnet, cfg=_our_hrnet_cfg())
+
+
 def _torch_inputs(batch, training):
     image = torch.from_numpy(
         np.ascontiguousarray(batch["image"].transpose(2, 0, 1))
@@ -548,12 +651,13 @@ def _torch_inputs(batch, training):
     return image, rois, masks, labels, gtrois, mat, index
 
 
-def _eval_parity(setup, conv_body):
+def _eval_parity(setup, conv_body=None, cfg=None):
     """Eval forward: data -> conv body -> mmcv-RoIAlign MaskFuse ->
     cls_iou heads -> testing_function (model_builder.py:60-68), reference
     executed vs the flax stack with converted weights."""
     model, variables, batch, path, apply_rcfg = setup
     apply_rcfg()
+    cfg = cfg if cfg is not None else _our_cfg(conv_body)
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
         batch, training=False
     )
@@ -562,7 +666,6 @@ def _eval_parity(setup, conv_body):
         rd = model(image, rois, masks, labels, gtrois, mat, path=path)
     want = [r.numpy() for r in rd["refine_score"]]  # K x (N, C) no-bg scores
 
-    cfg = _our_cfg(conv_body)
     jmodel = build_model(cfg)
     out = jax.jit(jmodel.apply)(
         variables,
@@ -583,13 +686,14 @@ def _eval_parity(setup, conv_body):
         )
 
 
-def _train_parity(setup, conv_body):
+def _train_parity(setup, conv_body=None, cfg=None):
     """Training forward: the reference's own loss assembly
     (model_builder.py:161-207 — per-branch CIM_layer with threshold ramp,
     lambda=3 on branch 0, iou x3, mil_bag_loss + PCL_loss accumulation,
     iou-pkl reads) executed end to end vs engine.train.compute_losses."""
     model, variables, batch, path, apply_rcfg = setup
     apply_rcfg()
+    cfg = cfg if cfg is not None else _our_cfg(conv_body)
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
         batch, training=True
     )
@@ -603,7 +707,6 @@ def _train_parity(setup, conv_body):
     assert want["cls_loss"] != 0.0 and want["bag_loss"] != 0.0
     assert want["pcl_loss"] != 0.0
 
-    cfg = _our_cfg(conv_body)
     jmodel = build_model(cfg)
 
     def loss_fn(batch_j):
