@@ -25,6 +25,10 @@ def main():
     data["annotations"] = [
         a for a in data["annotations"] if a.get("score", 1.0) >= args.thr
     ]
+    # the reference renumbers surviving ids densely from 1
+    # (change_mask_thr.py:30-37) — downstream consumers may key on it
+    for j, a in enumerate(data["annotations"], start=1):
+        a["id"] = j
     # images with no surviving annotations stay (matches reference: only
     # annotations filtered)
     out = args.output or args.input.replace(
