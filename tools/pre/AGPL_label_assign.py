@@ -66,9 +66,14 @@ def assign_image(mask_proposals, peaks, peak_scores, num_peaks, num_classes,
         px = min(px, mh - 1)
         py = min(py, mw - 1)
         covering = mask_proposals[:, px, py] > 0
-        if not covering.any():
-            continue
-        avgmask = mask_proposals[covering].mean(0) > 0.7
+        if covering.any():
+            avgmask = mask_proposals[covering].mean(0) > 0.7
+        else:
+            # reference: mean over an empty set -> nan -> all-False
+            # supermask; nothing assigns, but the cluster index still
+            # advances (:158-177) — cluster ids must match the
+            # reference-generated mats exactly (they seed PCL clusters)
+            avgmask = np.zeros((mh, mw), bool)
         af = avgmask.reshape(-1).astype(np.float32)
         inter = flat @ af
         union = areas + af.sum() - inter
