@@ -51,3 +51,39 @@ def test_assign_from_points_matches_agpl_rule(rng):
     # proposal 3 itself should be assigned (IoU with its own supermask high)
     if len(assigned):
         assert (np.count_nonzero(la, axis=1) <= 1).all()
+
+
+def test_dead_peak_or_point_still_advances_cluster_index(rng):
+    """A peak/point covered by NO proposal assigns nothing but still
+    advances the cluster index (reference mean-of-empty -> all-False
+    supermask, AGPL_label_assign.py:158-177 — pinned by execution in
+    tests/test_reference_exec_label_assign.py), so the bg cluster id
+    matches reference-generated mats exactly."""
+    import numpy as np
+
+    from tools.pre.AGPL_label_assign import assign_image
+    from tools.pre.point_level_label_assign import assign_from_points
+
+    masks = np.zeros((4, 32, 32), bool)
+    masks[0, 2:12, 2:12] = True
+    masks[1, 3:13, 3:13] = True
+    masks[2, 20:30, 20:30] = True
+    masks[3, 18:28, 18:28] = True
+
+    # AGPL: peak 1 lands in the first group, peak 2 lands on bare pixels
+    peaks = np.array([[7 * 112 // 32, 7 * 112 // 32, 2],
+                      [15 * 112 // 32, 15 * 112 // 32, 5]], np.int64)
+    la = assign_image(masks, peaks, np.array([0.9, 0.8], np.float32),
+                      num_peaks=2, num_classes=20, crm_size=112)
+    # ascending-score order: the DEAD peak (0.8) consumes cluster 1,
+    # the live assignment gets cluster 2, bg gets 3
+    assert la[:, 3].max() == 2           # class 2 -> column 3
+    if (la[:, 0] != 0).any():
+        assert la[:, 0].max() == 3
+
+    # point path: file order (no sort) — live point first
+    points = [(7, 7, 2, 1.0), (15, 15, 5, 1.0)]
+    lp = assign_from_points(masks, points, num_classes=20)
+    assert lp[:, 3].max() == 1
+    if (lp[:, 0] != 0).any():
+        assert lp[:, 0].max() == 3

@@ -42,9 +42,14 @@ def assign_from_points(mask_proposals, points, num_classes):
         x = int(x)
         y = int(y)
         covering = mask_proposals[:, y, x] > 0
-        if not covering.any():
-            continue
-        avgmask = mask_proposals[covering].mean(0) > 0.7
+        if covering.any():
+            avgmask = mask_proposals[covering].mean(0) > 0.7
+        else:
+            # a point covered by no proposal still advances the cluster
+            # index (reference semantics: mean-of-empty -> all-False
+            # supermask; pinned by tests/test_reference_exec_label_assign
+            # for the identical AGPL loop, point_level_label_assign.py:66-90)
+            avgmask = np.zeros(mask_proposals.shape[1:], bool)
         af = avgmask.reshape(-1).astype(np.float32)
         inter = flat @ af
         union = areas + af.sum() - inter
