@@ -44,7 +44,7 @@ def _round_up(x: int, m: int) -> int:
 class Evaluator:
     """Wraps a model + variables with shape-bucketed jitted TTA inference."""
 
-    def __init__(self, cfg, model, variables):
+    def __init__(self, cfg, model, variables, _defer_device_put=False):
         from cim_tpu.utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -52,8 +52,13 @@ class Evaluator:
         self.model = model
         # device-resident variables passed as a jit ARGUMENT: closing over
         # the param tree embeds ~1GB of literal weights into the MLIR and
-        # stalls/crashes the remote AOT compiler
-        self.variables = jax.device_put(variables)
+        # stalls/crashes the remote AOT compiler. Subclasses that place
+        # the tree with an explicit sharding defer this put — every
+        # host->device byte shipped leaks host RSS through the tunnel
+        # (CLAUDE.md), so the tree must ship exactly once.
+        self.variables = (
+            variables if _defer_device_put else jax.device_put(variables)
+        )
         self._apply = jax.jit(self._forward)
         self._apply_fused = {}  # ratio_hw -> jitted all-passes program
 
@@ -437,7 +442,7 @@ class BatchedEvaluator(Evaluator):
         is one SPMD program, composable with `--range` process sharding.
         batch_size is rounded up to a multiple of the mesh size so the
         padded stack splits evenly."""
-        super().__init__(cfg, model, variables)
+        super().__init__(cfg, model, variables, _defer_device_put=mesh is not None)
         self.batch_size = int(batch_size or cfg.TPU.EVAL_BATCH)
         self.mesh = mesh
         vmapped = jax.vmap(self._forward, in_axes=(None, 0, 0, 0, 0, 0, 0))
@@ -447,6 +452,7 @@ class BatchedEvaluator(Evaluator):
             n_dev = mesh.devices.size
             self.batch_size = -(-self.batch_size // n_dev) * n_dev
             bs, rep = batch_sharding(mesh), replicated(mesh)
+            # single transfer, directly to the replicated sharding
             self.variables = jax.device_put(self.variables, rep)
             self._shardings = (rep,) + (bs,) * 6
             self._apply_batched = jax.jit(vmapped, in_shardings=self._shardings)

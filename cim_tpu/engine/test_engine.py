@@ -88,9 +88,18 @@ def test_net(
         n_dev = int(getattr(cfg.TPU, "EVAL_DEVICES", 1) or 1)
         mesh = None
         if n_dev != 1:
+            import jax
+
             from cim_tpu.parallel import data_parallel_mesh
 
-            mesh = data_parallel_mesh(None if n_dev < 0 else n_dev)
+            local = len(jax.devices())
+            if n_dev > local:
+                logger.warning(
+                    "TPU.EVAL_DEVICES=%d exceeds the %d local devices; "
+                    "using %d", n_dev, local, local,
+                )
+            mesh = data_parallel_mesh(None if n_dev < 0 else min(n_dev, local))
+            logger.info("eval mesh: %d devices", mesh.devices.size)
         evaluator = BatchedEvaluator(cfg, model, variables, eval_batch,
                                      mesh=mesh)
         window = 4 * evaluator.batch_size
@@ -112,6 +121,11 @@ def test_net(
                 start_ind + num_images, ave, int((num_images - done) * ave),
             )
     else:
+        if int(getattr(cfg.TPU, "EVAL_DEVICES", 1) or 1) != 1:
+            logger.warning(
+                "TPU.EVAL_DEVICES has no effect with TPU.EVAL_BATCH <= 1; "
+                "running the sequential single-device evaluator"
+            )
         evaluator = Evaluator(cfg, model, variables)
         for i, entry in enumerate(roidb):
             im = image_loader(entry)

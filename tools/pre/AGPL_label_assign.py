@@ -41,52 +41,66 @@ def parse_args():
     return parser.parse_args()
 
 
-def assign_image(mask_proposals, peaks, peak_scores, num_peaks, num_classes,
-                 crm_size=112):
-    """Steps 2-3 for one image (reference :145-185). peaks: (K, 3) [y,x,cls]."""
-    from cim_tpu.data.synthetic import mask_matrices
+def assign_cluster_sites(mask_proposals, sites, num_classes):
+    """Shared assignment core (reference AGPL_label_assign.py:145-185 ==
+    point_level_label_assign.py:66-95, byte-identical loops upstream).
 
+    sites: iterable of (py, px, class_idx) in MASK PIXEL space, already
+    in application order (AGPL: ascending peak score; points: file
+    order). Per site: covering-proposal supermask avg>0.7 -> IoU>0.5
+    cluster assignment (later sites override), aggregate near-miss rows
+    into one trailing bg cluster. A site covered by NO proposal assigns
+    nothing but still advances the cluster index (reference
+    mean-of-empty -> all-False supermask) — cluster ids must match
+    reference-generated mats exactly (they seed PCL clusters; pinned by
+    tests/test_reference_exec_label_assign.py)."""
     num_proposal = len(mask_proposals)
-    label_assignment = np.zeros((num_proposal, num_classes + 1), np.float32)
+    la = np.zeros((num_proposal, num_classes + 1), np.float32)
     cluster_idx = 1
-    if num_peaks == 0:
-        label_assignment[:, 0] = cluster_idx
-        return label_assignment
-
     mh, mw = mask_proposals.shape[1:]
-    order = np.argsort(peak_scores[:num_peaks])
-    bg_agg = np.zeros(num_proposal, np.float32)
     flat = mask_proposals.reshape(num_proposal, -1).astype(np.float32)
     areas = flat.sum(-1)
-    for j in order:
-        y, x, class_idx = peaks[j]
-        # peak coords live in the upsampled CRM space (112 = 14 * 8)
-        px = int(y * mh / crm_size)
-        py = int(x * mw / crm_size)
-        px = min(px, mh - 1)
-        py = min(py, mw - 1)
-        covering = mask_proposals[:, px, py] > 0
+    bg_agg = np.zeros(num_proposal, np.float32)
+    any_site = False
+    for py, px, class_idx in sites:
+        any_site = True
+        covering = mask_proposals[:, py, px] > 0
         if covering.any():
             avgmask = mask_proposals[covering].mean(0) > 0.7
         else:
-            # reference: mean over an empty set -> nan -> all-False
-            # supermask; nothing assigns, but the cluster index still
-            # advances (:158-177) — cluster ids must match the
-            # reference-generated mats exactly (they seed PCL clusters)
             avgmask = np.zeros((mh, mw), bool)
         af = avgmask.reshape(-1).astype(np.float32)
         inter = flat @ af
         union = areas + af.sum() - inter
         iou = np.where(union > 0, inter / union, 0.0)
         assign = iou > 0.5
-        label_assignment[assign, :] = 0
-        label_assignment[assign, class_idx + 1] = cluster_idx
+        la[assign, :] = 0
+        la[assign, int(class_idx) + 1] = cluster_idx
         bg_agg += ((iou <= 0.5) & (iou != 0)).astype(np.float32)
         cluster_idx += 1
+    if not any_site:
+        la[:, 0] = cluster_idx
+        return la
+    bg = (bg_agg != 0) & (la.sum(1) == 0)
+    la[bg, 0] = cluster_idx
+    return la
 
-    bg = (bg_agg != 0) & (label_assignment.sum(1) == 0)
-    label_assignment[bg, 0] = cluster_idx
-    return label_assignment
+
+def assign_image(mask_proposals, peaks, peak_scores, num_peaks, num_classes,
+                 crm_size=112):
+    """Steps 2-3 for one image (reference :145-185). peaks: (K, 3) [y,x,cls]
+    in the upsampled CRM space (112 = 14 * 8), applied ascending by score."""
+    mh, mw = mask_proposals.shape[1:]
+    order = np.argsort(np.asarray(peak_scores)[:num_peaks])
+
+    def sites():
+        for j in order:
+            y, x, class_idx = peaks[j]
+            py = min(int(y * mh / crm_size), mh - 1)
+            px = min(int(x * mw / crm_size), mw - 1)
+            yield py, px, class_idx
+
+    return assign_cluster_sites(mask_proposals, sites(), num_classes)
 
 
 def main():

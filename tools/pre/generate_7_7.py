@@ -58,8 +58,11 @@ def rasterize_one(payload):
     incl = np.zeros((n, 4), np.float32)
     for i in range(n):
         ys, xs = np.nonzero(masks[i])
-        if len(ys) == 0:
-            continue
+        # the reference crashes on min() of an empty set
+        # (generate_7_7_voc.py:36) — an all-empty COB mask is corrupt
+        # input and must fail loudly, not flow into training pkls as a
+        # degenerate 1x1 box at the origin
+        assert len(ys) > 0, f"empty COB proposal mask #{i} for image {img_id}"
         incl[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
     small = masks_to_7x7(masks, incl) if mask_size == 7 else _resize(
         masks, incl, mask_size

@@ -28,40 +28,13 @@ def parse_args():
 
 
 def assign_from_points(mask_proposals, points, num_classes):
-    """points: list of (x, y, class_idx, conf)."""
-    num_proposal = len(mask_proposals)
-    la = np.zeros((num_proposal, num_classes + 1), np.float32)
-    cluster_idx = 1
-    if not points:
-        la[:, 0] = cluster_idx
-        return la
-    flat = mask_proposals.reshape(num_proposal, -1).astype(np.float32)
-    areas = flat.sum(-1)
-    bg_agg = np.zeros(num_proposal, np.float32)
-    for x, y, class_idx, _conf in points:
-        x = int(x)
-        y = int(y)
-        covering = mask_proposals[:, y, x] > 0
-        if covering.any():
-            avgmask = mask_proposals[covering].mean(0) > 0.7
-        else:
-            # a point covered by no proposal still advances the cluster
-            # index (reference semantics: mean-of-empty -> all-False
-            # supermask; pinned by tests/test_reference_exec_label_assign
-            # for the identical AGPL loop, point_level_label_assign.py:66-90)
-            avgmask = np.zeros(mask_proposals.shape[1:], bool)
-        af = avgmask.reshape(-1).astype(np.float32)
-        inter = flat @ af
-        union = areas + af.sum() - inter
-        iou = np.where(union > 0, inter / union, 0.0)
-        assign = iou > 0.5
-        la[assign, :] = 0
-        la[assign, int(class_idx) + 1] = cluster_idx
-        bg_agg += ((iou <= 0.5) & (iou != 0)).astype(np.float32)
-        cluster_idx += 1
-    bg = (bg_agg != 0) & (la.sum(1) == 0)
-    la[bg, 0] = cluster_idx
-    return la
+    """points: list of (x, y, class_idx, conf), applied in file order
+    (reference point_level_label_assign.py:66-95 — the same loop as
+    AGPL's, shared via assign_cluster_sites)."""
+    from tools.pre.AGPL_label_assign import assign_cluster_sites
+
+    sites = [(int(y), int(x), class_idx) for x, y, class_idx, _conf in points]
+    return assign_cluster_sites(mask_proposals, sites, num_classes)
 
 
 def main():
