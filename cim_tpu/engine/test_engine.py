@@ -206,19 +206,93 @@ def run_inference(
         dataset, all_boxes, output_dir, test_corloc=check_corloc
     )
     if check_expected_results and cfg.EXPECTED_RESULTS:
-        failures = task_evaluation.check_expected_results(
-            results,
-            cfg.EXPECTED_RESULTS,
-            atol=cfg.EXPECTED_RESULTS_ATOL,
-            rtol=cfg.EXPECTED_RESULTS_RTOL,
-        )
-        if failures and cfg.EXPECTED_RESULTS_EMAIL:
-            # reference lib/utils/logging.py:86-92 (email on regression)
-            from cim_tpu.engine.stats import send_failure_email
+        _apply_expected_results_gate(cfg, results)
+    return results, all_boxes, all_scores
 
-            send_failure_email(
-                "CIM expected-results regression", "\n".join(failures),
-                cfg.EXPECTED_RESULTS_EMAIL,
-            )
-        assert not failures, failures
+
+def _apply_expected_results_gate(cfg, results):
+    from cim_tpu.evaluation import task_evaluation
+
+    failures = task_evaluation.check_expected_results(
+        results,
+        cfg.EXPECTED_RESULTS,
+        atol=cfg.EXPECTED_RESULTS_ATOL,
+        rtol=cfg.EXPECTED_RESULTS_RTOL,
+    )
+    if failures and cfg.EXPECTED_RESULTS_EMAIL:
+        # reference lib/utils/logging.py:86-92 (email on regression)
+        from cim_tpu.engine.stats import send_failure_email
+
+        send_failure_email(
+            "CIM expected-results regression", "\n".join(failures),
+            cfg.EXPECTED_RESULTS_EMAIL,
+        )
+    assert not failures, failures
+
+
+def multi_process_inference(
+    cfg,
+    child_argv,
+    n_procs,
+    output_dir,
+    check_corloc=False,
+    check_expected_results=False,
+):
+    """Parent-mode subprocess fan-out (reference
+    multi_gpu_test_net_on_dataset, lib/core/test_engine.py:204-244 +
+    utils/subprocess.py:41-145): split the dataset into `n_procs`
+    contiguous index ranges, re-invoke the test_net CLI once per range
+    (`child_argv + ["--range", s, e]`), assert every child exits 0,
+    merge the per-range detection pickles into one, and run
+    post-processing + evaluation in the parent.
+
+    Device placement is per child process (the reference pinned one GPU
+    per child via CUDA_VISIBLE_DEVICES; here each child sees the host's
+    jax devices — combine with per-child JAX/XLA env or one-chip hosts)."""
+    import subprocess
+    import sys
+
+    dataset_name = cfg.TEST.DATASETS[0]
+    proposal_file = (
+        cfg.TEST.PROPOSAL_FILES[0] if cfg.TEST.PROPOSAL_FILES else None
+    )
+    roidb, dataset, _, _, total = get_roidb_and_dataset(
+        cfg, dataset_name, proposal_file, None
+    )
+    n = len(roidb)
+    bounds = [(i * n) // n_procs for i in range(n_procs + 1)]
+    procs = []
+    for i in range(n_procs):
+        s, e = bounds[i], bounds[i + 1]
+        if s == e:
+            continue
+        cmd = [sys.executable] + list(child_argv) + ["--range", str(s), str(e)]
+        logger.info("spawning shard [%d, %d): %s", s, e, " ".join(cmd))
+        procs.append((s, e, subprocess.Popen(cmd)))
+
+    for s, e, p in procs:
+        ret = p.wait()
+        # reference subprocess.py:145 asserts child exit status
+        assert ret == 0, f"child shard [{s}, {e}) exited with {ret}"
+
+    det_base = "discovery" if check_corloc else "detections"
+    all_scores = {}
+    for s, e, _ in procs:
+        part = os.path.join(output_dir, f"{det_base}_range_{s}_{e}.pkl")
+        with open(part, "rb") as f:
+            all_scores.update(pickle.load(f))
+    assert len(all_scores) == n, (len(all_scores), n)
+    with open(os.path.join(output_dir, f"{det_base}.pkl"), "wb") as f:
+        pickle.dump(all_scores, f, pickle.HIGHEST_PROTOCOL)
+
+    from cim_tpu.evaluation import task_evaluation
+
+    all_boxes = post_process_results(
+        cfg, all_scores, roidb, dataset, check_corloc
+    )
+    results = task_evaluation.evaluate_all(
+        dataset, all_boxes, output_dir, test_corloc=check_corloc
+    )
+    if check_expected_results and cfg.EXPECTED_RESULTS:
+        _apply_expected_results_gate(cfg, results)
     return results, all_boxes, all_scores

@@ -186,6 +186,27 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
         assert rec["scores"].shape == (20, 20)
         assert np.isfinite(rec["scores"]).all()
 
+    # 2c. parent-mode subprocess fan-out (reference
+    # multi_gpu_test_net_on_dataset + utils/subprocess.py): two child
+    # --range shards, merged by the parent — detections must be
+    # identical to the single-process pass
+    out = run(
+        ["tools/test_net.py", "--cfg", "configs/resnet50_voc.yaml",
+         "--load_ckpt", str(out_dir / "ckpt"), "--multi_proc", "2",
+         "--output_dir", str(out_dir / "test_mp")]
+        + common_sets,
+        timeout=840,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    with open(out_dir / "test_mp" / "detections.pkl", "rb") as f:
+        dets_mp = pickle.load(f)
+    assert sorted(dets_mp) == sorted(dets)
+    for k in dets:
+        np.testing.assert_allclose(
+            dets_mp[k]["scores"], dets[k]["scores"], rtol=1e-6,
+            err_msg="multi_proc detections diverged from single-process",
+        )
+
     # 3. instance-segmentation evaluation (mask NMS + RLE + COCOeval)
     out = run(
         ["tools/evaluation.py", "--cfg", "configs/resnet50_voc.yaml",

@@ -35,6 +35,10 @@ def parse_args():
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--range", nargs=2, type=int, default=None,
                         help="start end image index range")
+    parser.add_argument("--multi_proc", type=int, default=0,
+                        help="parent mode: spawn N child processes over "
+                        "contiguous --range shards and merge (reference "
+                        "multi_gpu_test_net_on_dataset + utils/subprocess.py)")
     parser.add_argument("--wait", action="store_true",
                         help="wait for the checkpoint to appear")
     return parser.parse_args()
@@ -69,6 +73,39 @@ def main():
     elif args.dataset is not None:
         raise ValueError(f"Unexpected args.dataset: {args.dataset}")
     assert_and_infer_cfg(cfg, make_immutable=False)
+
+    output_dir_early = args.output_dir or os.path.join(
+        cfg.OUTPUT_DIR,
+        os.path.splitext(os.path.basename(args.cfg_file))[0],
+        "test",
+    )
+    if args.multi_proc and args.multi_proc > 1 and args.range is None:
+        # parent mode: no model here — children do the device work
+        from cim_tpu.engine.test_engine import multi_process_inference
+
+        os.makedirs(output_dir_early, exist_ok=True)
+        child_argv = [os.path.abspath(__file__)]
+        skip = 0
+        for a in sys.argv[1:]:
+            if skip:
+                skip -= 1
+                continue
+            if a == "--multi_proc":
+                skip = 1
+                continue
+            if a.startswith("--multi_proc="):
+                continue
+            child_argv.append(a)
+        if not args.output_dir:
+            child_argv += ["--output_dir", output_dir_early]
+        results, _, _ = multi_process_inference(
+            cfg, child_argv, args.multi_proc, output_dir_early,
+            check_corloc=check_corloc, check_expected_results=True,
+        )
+        logger.info(
+            "Results: %s", {k: v for k, v in results.items() if k != "per_class"}
+        )
+        return
 
     import jax
 
@@ -117,11 +154,7 @@ def main():
         logger.info("Loaded Detectron pkl weights from %s", args.load_detectron)
 
     variables = {"params": trainer.state.params, "stats": trainer.stats}
-    output_dir = args.output_dir or os.path.join(
-        cfg.OUTPUT_DIR,
-        os.path.splitext(os.path.basename(args.cfg_file))[0],
-        "test",
-    )
+    output_dir = output_dir_early
     results, _, _ = run_inference(
         cfg,
         trainer.model,
