@@ -31,6 +31,7 @@ logger = logging.getLogger("tools.generate_mask")
 def parse_args():
     parser = argparse.ArgumentParser(description="Export pseudo labels")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
+    parser.add_argument("--set", dest="set_cfgs", nargs="+", default=None)
     parser.add_argument("--result_path", required=True, help="discovery.pkl")
     parser.add_argument("--dataset", default="voc2012trainaug")
     parser.add_argument("--cob_dir", default=None,
@@ -152,7 +153,7 @@ def export_shard(payload):
 
 
 def main():
-    from cim_tpu.config import cfg_from_file, get_default_cfg
+    from cim_tpu.config import cfg_from_file, cfg_from_list, get_default_cfg
     from cim_tpu.data.json_dataset import JsonDataset
     from cim_tpu.data.voc_meta import classes_for
     from cim_tpu.engine.stats import setup_logging
@@ -162,6 +163,8 @@ def main():
 
     cfg = get_default_cfg()
     cfg_from_file(cfg, args.cfg_file)
+    if args.set_cfgs:
+        cfg_from_list(cfg, args.set_cfgs)
     if args.dataset == "voc2012trainaug":
         train_name = "voc_2012_trainaug"
         cfg.MODEL.NUM_CLASSES = 20
