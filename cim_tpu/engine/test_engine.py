@@ -144,7 +144,7 @@ def test_net(
                     start_ind + num_images, ave, int(eta),
                 )
 
-    det_name = "discovery.pkl" if check_corloc else "detections.pkl"
+    det_name = _det_basename(check_corloc) + ".pkl"
     if ind_range is not None:
         det_name = f"{det_name[:-4]}_range_{ind_range[0]}_{ind_range[1]}.pkl"
     os.makedirs(output_dir, exist_ok=True)
@@ -186,8 +186,6 @@ def run_inference(
 
     With ind_range, only that slice is processed and pickled (the
     reference's child-process contract); evaluation is skipped."""
-    from cim_tpu.evaluation import task_evaluation
-
     dataset_name = cfg.TEST.DATASETS[0]
     proposal_file = (
         cfg.TEST.PROPOSAL_FILES[0] if cfg.TEST.PROPOSAL_FILES else None
@@ -199,6 +197,24 @@ def run_inference(
     )
     if ind_range:
         return None, None, all_scores
+    return _post_process_and_evaluate(
+        cfg, all_scores, roidb, dataset, output_dir, check_corloc,
+        check_expected_results,
+    )
+
+
+def _det_basename(check_corloc: bool) -> str:
+    """detections.pkl (val) vs discovery.pkl (train CorLoc) — single
+    source for child range files and the parent merge."""
+    return "discovery" if check_corloc else "detections"
+
+
+def _post_process_and_evaluate(cfg, all_scores, roidb, dataset, output_dir,
+                               check_corloc, check_expected_results):
+    """Shared tail of run_inference and multi_process_inference: per-image
+    NMS/CorLoc post-processing, evaluate_all, expected-results gate."""
+    from cim_tpu.evaluation import task_evaluation
+
     all_boxes = post_process_results(
         cfg, all_scores, roidb, dataset, check_corloc
     )
@@ -270,12 +286,15 @@ def multi_process_inference(
         logger.info("spawning shard [%d, %d): %s", s, e, " ".join(cmd))
         procs.append((s, e, subprocess.Popen(cmd)))
 
-    for s, e, p in procs:
-        ret = p.wait()
-        # reference subprocess.py:145 asserts child exit status
-        assert ret == 0, f"child shard [{s}, {e}) exited with {ret}"
+    # wait for EVERY child before judging any: asserting on the first
+    # failure would orphan still-running shards (each holding the device
+    # and, through the tunnel, leaking host RSS)
+    rets = [(s, e, p.wait()) for s, e, p in procs]
+    failed = [(s, e, r) for s, e, r in rets if r != 0]
+    # reference subprocess.py:145 asserts child exit status
+    assert not failed, f"child shards failed: {failed}"
 
-    det_base = "discovery" if check_corloc else "detections"
+    det_base = _det_basename(check_corloc)
     all_scores = {}
     for s, e, _ in procs:
         part = os.path.join(output_dir, f"{det_base}_range_{s}_{e}.pkl")
@@ -285,14 +304,7 @@ def multi_process_inference(
     with open(os.path.join(output_dir, f"{det_base}.pkl"), "wb") as f:
         pickle.dump(all_scores, f, pickle.HIGHEST_PROTOCOL)
 
-    from cim_tpu.evaluation import task_evaluation
-
-    all_boxes = post_process_results(
-        cfg, all_scores, roidb, dataset, check_corloc
+    return _post_process_and_evaluate(
+        cfg, all_scores, roidb, dataset, output_dir, check_corloc,
+        check_expected_results,
     )
-    results = task_evaluation.evaluate_all(
-        dataset, all_boxes, output_dir, test_corloc=check_corloc
-    )
-    if check_expected_results and cfg.EXPECTED_RESULTS:
-        _apply_expected_results_gate(cfg, results)
-    return results, all_boxes, all_scores

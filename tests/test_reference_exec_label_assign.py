@@ -271,10 +271,14 @@ def tree(tmp_path_factory):
 
 # peaks in 112-CRM space as (x_crm, y_crm, class): two landing inside
 # proposal groups (classes 2 and 11), one landing where NO proposal
-# covers (the reference still advances the cluster index there), and an
-# override case (same area, higher score, different class)
-PEAKS = [(25, 30, 2), (80, 80, 11), (0, 111, 5), (27, 32, 11)]
-SCORES = [0.9, 0.8, 0.7, 0.95]
+# covers (the reference still advances the cluster index there), an
+# override case (same area, higher score, different class), and an
+# ASYMMETRIC peak (40, 95) that hits proposal 5 (rows 10-24, cols 44-62)
+# only under the correct row<-x_crm*H/112, col<-y_crm*W/112 mapping — the
+# transposed mapping lands on bare pixels, so a row/col swap in
+# assign_image changes the mat and fails the parity assert
+PEAKS = [(25, 30, 2), (80, 80, 11), (0, 111, 5), (27, 32, 11), (40, 95, 7)]
+SCORES = [0.9, 0.8, 0.7, 0.95, 0.85]
 
 
 def test_label_assignment_matches_executed_reference(ref_assign, tree,

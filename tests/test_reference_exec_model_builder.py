@@ -759,9 +759,11 @@ def _train_grad_parity(setup, conv_body, convert_grads):
     the torch graph is the differentiable RoIAlign stand-in (same mmcv
     spec the forward shim transliterates from the CUDA kernel).
 
-    Frozen leaves (reference FREEZE_AT via requires_grad=False) are
-    compared as raw-gradient-only on the jax side, mirroring that our
-    freezing lives in the optimizer mask, not in grad computation."""
+    FREEZE_AT leaves get requires_grad flipped ON for this test so torch
+    produces real gradients for EVERY leaf (freezing is an optimizer
+    concern on both sides — the reference masks updates via
+    requires_grad, we via the optimizer mask — the raw gradient math is
+    identical and fully compared)."""
     model, variables, batch, path, apply_rcfg = setup
     apply_rcfg()
     image, rois, masks, labels, gtrois, mat, index = _torch_inputs(
@@ -771,6 +773,10 @@ def _train_grad_parity(setup, conv_body, convert_grads):
     old_ra = mb_mod.RoIAlign
     mb_mod.RoIAlign = _RoIAlignDiffShim
     model.train()
+    frozen = [p_ for p_ in model.parameters() if not p_.requires_grad]
+    assert frozen, "fixture must exercise FREEZE_AT"
+    for p_ in frozen:
+        p_.requires_grad_(True)
     model.zero_grad(set_to_none=True)
     try:
         with _cpu_cuda():
@@ -783,23 +789,15 @@ def _train_grad_parity(setup, conv_body, convert_grads):
         total.backward()
     finally:
         mb_mod.RoIAlign = old_ra
+        for p_ in frozen:
+            p_.requires_grad_(False)
 
-    frozen = {n for n, p in model.named_parameters() if not p.requires_grad}
-    assert frozen, "fixture must exercise FREEZE_AT"
     grads_sd = {
         n: (torch.zeros_like(p) if p.grad is None else p.grad)
         for n, p in model.named_parameters()
     }
     grads_sd.update(dict(model.named_buffers()))
     g_torch = convert_grads(grads_sd)
-    frozen_map = {
-        n: torch.full_like(p, float(n in frozen))
-        for n, p in model.named_parameters()
-    }
-    frozen_map.update(
-        {n: torch.zeros_like(b) for n, b in model.named_buffers()}
-    )
-    frozen_t = convert_grads(frozen_map)
 
     cfg = _our_cfg(conv_body)
     jmodel = build_model(cfg)
@@ -826,19 +824,10 @@ def _train_grad_parity(setup, conv_body, convert_grads):
         jax.tree_util.keystr(kp): np.asarray(v)
         for kp, v in jax.tree_util.tree_flatten_with_path(g_jax)[0]
     }
-    flat_frozen = {
-        jax.tree_util.keystr(kp): bool(np.asarray(v).flat[0])
-        for kp, v in jax.tree_util.tree_flatten_with_path(
-            jax.tree.map(np.asarray, frozen_t)
-        )[0]
-    }
     assert len(flat_t) == len(flat_j)
     checked = nonzero = 0
     for kp, gt in flat_t:
         key = jax.tree_util.keystr(kp)
-        if flat_frozen.get(key):
-            checked += 1  # torch grad is None by requires_grad; ours raw
-            continue
         gj = flat_j[key]
         assert gj.shape == gt.shape, key
         nt, nj = np.linalg.norm(gt), np.linalg.norm(gj)

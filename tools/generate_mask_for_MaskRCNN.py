@@ -163,8 +163,6 @@ def main():
 
     cfg = get_default_cfg()
     cfg_from_file(cfg, args.cfg_file)
-    if args.set_cfgs:
-        cfg_from_list(cfg, args.set_cfgs)
     if args.dataset == "voc2012trainaug":
         train_name = "voc_2012_trainaug"
         cfg.MODEL.NUM_CLASSES = 20
@@ -173,6 +171,10 @@ def main():
         cfg.MODEL.NUM_CLASSES = 80
     else:
         raise ValueError(args.dataset)
+    # --set applies AFTER the dataset defaults: an explicit user override
+    # (e.g. MODEL.NUM_CLASSES) must not be silently clobbered
+    if args.set_cfgs:
+        cfg_from_list(cfg, args.set_cfgs)
 
     with open(args.result_path, "rb") as f:
         detections = pickle.load(f)

@@ -20,7 +20,11 @@ logger = logging.getLogger("tools.test_net")
 
 
 def parse_args():
-    parser = argparse.ArgumentParser(description="Test CIM (TPU)")
+    # allow_abbrev=False: parent mode re-execs sys.argv into children
+    # after stripping --multi_proc; an accepted abbreviation (--multi 2)
+    # would survive the strip and leak into child argv
+    parser = argparse.ArgumentParser(description="Test CIM (TPU)",
+                                     allow_abbrev=False)
     parser.add_argument("--dataset",
                         help="voc2012sbdval | voc2012trainaug | coco2017val")
     parser.add_argument("--cfg", dest="cfg_file", required=True)
