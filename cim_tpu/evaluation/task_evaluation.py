@@ -40,7 +40,15 @@ def _voc_info(dataset):
 
 def _dets_by_class(dataset, all_boxes, imagenames):
     """all_boxes[cls][img] = (n, 5) dets -> per-class flat lists keyed by
-    VOC imagename."""
+    VOC imagename.
+
+    Detections get +1 on every coordinate: the reference writes its VOC
+    result files 1-based (voc_dataset_evaluator.py:96-98) and voc_eval
+    parses the xml gt RAW (voc_eval.py:45, no -1), so the matching runs
+    in 1-based coordinates on both sides. Our pipeline's 0-based dets
+    must be lifted the same way or every det box sits one pixel
+    up-and-left of the reference protocol's, shifting borderline IoU
+    matches and the resulting mAP/CorLoc."""
     classes = classes_for(dataset.num_classes)
     out = {c: [] for c in classes}
     for j, cls in enumerate(classes):
@@ -50,7 +58,9 @@ def _dets_by_class(dataset, all_boxes, imagenames):
                 continue
             name = imagenames[im_i]
             for d in dets:
-                out[cls].append((name, float(d[4]), d[0], d[1], d[2], d[3]))
+                out[cls].append(
+                    (name, float(d[4]), d[0] + 1, d[1] + 1, d[2] + 1, d[3] + 1)
+                )
     return out
 
 

@@ -246,3 +246,83 @@ def test_voc_eval_nan_divergence_on_empty_class(ref_voc, tmp_path):
     assert np.isnan(w_ap)
     _, _, g_ap = voc_eval_boxes(dets["cat"], annotations, imagenames, "cat")
     assert g_ap == 0.0
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_result_writer_one_based_offset_parity(ref_voc, tmp_path, seed):
+    """The reference writes its VOC result files 1-BASED
+    (voc_dataset_evaluator.py:96-98: every coordinate +1) while voc_eval
+    parses the xml gt raw (voc_eval.py:45) — matching runs in 1-based
+    coordinates. This test executes voc_eval over det files written with
+    the reference's +1 and compares against our production det assembly
+    (task_evaluation._dets_by_class, which must apply the same lift) —
+    with borderline-IoU detections so a missing +1 CHANGES the AP (the
+    fixture asserts the 0-based AP actually differs)."""
+    from cim_tpu.evaluation.task_evaluation import _dets_by_class
+
+    rng = np.random.RandomState(100 + seed)
+    imagenames, annotations, dets0 = _scene(rng)
+    # deterministic 1px-sensitive match: a 20x20 gt at [10,10,29,29] and a
+    # same-size det displaced up-left by exactly 4px — IoU 16^2/(800-256)
+    # = 0.47 in 0-based coords (no match) but 17^2/(800-289) = 0.566 once
+    # the det is lifted +1 toward the raw 1-based gt (match)
+    annotations[imagenames[0]].append(
+        {"name": "cat", "difficult": 0, "bbox": [10, 10, 29, 29]}
+    )
+    dets0["cat"].append((imagenames[0], 0.999, 6.0, 6.0, 25.0, 25.0))
+
+    # reference side: det files with the writer's +1
+    dets_plus1 = {
+        c: [(n, s, x1 + 1, y1 + 1, x2 + 1, y2 + 1)
+            for (n, s, x1, y1, x2, y2) in rows]
+        for c, rows in dets0.items()
+    }
+    detpath, annopath, setfile, cache = _write_reference_inputs(
+        tmp_path, imagenames, annotations, dets_plus1
+    )
+
+    # our side: production assembly from 0-based all_boxes
+    classes = ("cat", "dog")
+    num_classes = len(classes)
+    name_to_i = {n: i for i, n in enumerate(imagenames)}
+    all_boxes = [[[] for _ in imagenames] for _ in range(num_classes + 1)]
+    for j, c in enumerate(classes):
+        per_img = {}
+        for (n, s, x1, y1, x2, y2) in dets0[c]:
+            per_img.setdefault(n, []).append([x1, y1, x2, y2, s])
+        for n, rows in per_img.items():
+            all_boxes[j + 1][name_to_i[n]] = np.array(rows, np.float64)
+
+    class _DS:
+        pass
+
+    ds = _DS()
+    ds.num_classes = num_classes
+    import cim_tpu.evaluation.task_evaluation as te
+
+    saved = te.classes_for
+    te.classes_for = lambda n: list(classes)  # 2-class fixture space
+    try:
+        ours = _dets_by_class(ds, all_boxes, imagenames)
+    finally:
+        te.classes_for = saved
+
+    parsed = {n: annotations[n] for n in imagenames}
+    any_borderline = False
+    for c in classes:
+        if not dets0[c]:
+            continue
+        with _np_bool_shim():
+            _, _, w_ap = ref_voc.voc_eval(
+                detpath.replace("{:s}", "{}").format(c),
+                annopath.replace("{:s}", "{}"),
+                setfile, c, cache, ovthresh=0.5, use_07_metric=False,
+            )
+        ours_sorted = sorted(ours[c])
+        _, _, g_ap = voc_eval_boxes(ours[c], parsed, imagenames, c)
+        np.testing.assert_allclose(g_ap, w_ap, rtol=1e-10, err_msg=c)
+        # discriminating power: WITHOUT the lift the AP differs
+        _, _, ap0 = voc_eval_boxes(dets0[c], parsed, imagenames, c)
+        if abs(ap0 - w_ap) > 1e-6:
+            any_borderline = True
+    assert any_borderline, "fixture failed to produce a 1px-sensitive match"
