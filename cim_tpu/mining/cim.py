@@ -8,10 +8,14 @@ numpy round-trip for anti-noise sampling (heads.py:437-474). Here:
 - seed selection + mask-IoU NMS are vmapped over classes, sharing one
   fori_loop of K_seed steps (K_seed = ceil(p_seed * N_max), static);
 - complete-instance mining (containment via the asymmetric-IoU matrix,
-  detector-argmax per seed column) is a masked argmax, vmapped per class;
+  detector-argmax per seed column) is a masked argmax, vmapped per class
+  (chunked via lax.map above _CLASS_CHUNK classes to bound the
+  (C, N, K) containment intermediate at COCO scale);
 - the order-dependent "higher-scoring class wins" update
-  (heads.py:397-402) is a lax.scan over classes in ascending order —
-  exactly the reference's iteration order over label.nonzero();
+  (heads.py:397-402) is an argmax-over-classes REDUCTION, not a scan:
+  the reference iterates label.nonzero() in ascending class order with a
+  strict `>` update, so the winner of proposal i is the lowest class
+  index attaining max preds — exactly jnp.argmax's first-max rule;
 - anti-noise resampling uses jax.random.categorical draws (the reference's
   np.random.choice-with-replacement + unique, heads.py:455-461).
 
@@ -30,13 +34,6 @@ import jax.numpy as jnp
 from cim_tpu.ops.nms import greedy_nms_from_iou
 
 NEG = -1e30
-
-
-def _vzero(x):
-    """A zero scalar that inherits x's varying-manual-axes (vma) under
-    shard_map, so scan/loop carries initialized from constants type-check
-    when the body output depends on sharded data."""
-    return jnp.sum(x) * 0.0
 
 
 class MiningParams(NamedTuple):
@@ -78,6 +75,49 @@ def seed_count(p_seed: float, n_valid):
 
 def max_seeds(p_seed: float, n_max: int) -> int:
     return int(math.ceil(p_seed * n_max))
+
+
+# Class-chunk bound for the vectorized containment mining: caps the
+# (chunk, N, K) asy-IoU gather intermediate (~107 MB at COCO's
+# N=4096, K=410, chunk=32 in f32) while still filling the VPU; VOC's
+# C=20 runs as one unchunked vmap.
+_CLASS_CHUNK = 32
+
+
+def _map_classes(fn, args, c):
+    """vmap `fn` over the leading class axis of every arg; above
+    _CLASS_CHUNK classes, run as lax.map over class chunks (sequential
+    chunks of a vmapped body) to bound the per-chunk intermediates."""
+    if c <= _CLASS_CHUNK:
+        return jax.vmap(fn)(*args)
+    pad = (-c) % _CLASS_CHUNK
+    padded = [jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+              if pad else a for a in args]
+    chunked = [a.reshape((c + pad) // _CLASS_CHUNK, _CLASS_CHUNK, *a.shape[1:])
+               for a in padded]
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), tuple(chunked))
+    return out.reshape(-1, *out.shape[2:])[:c]
+
+
+def _winner_reduce(eligible, scores_cn, num_classes, dtype):
+    """The reference's sequential "higher-scoring class wins" update
+    (heads.py:397-402) as a reduction: iterating classes ascending with a
+    strict `>` replacement leaves proposal i labeled with the LOWEST class
+    index attaining max_c scores[c, i] — jnp.argmax's first-max rule.
+
+    eligible/scores_cn: (C, N). Returns (gt_labels (N, C+1),
+    gt_weights (N,), gt_mask (N,)).
+    """
+    cand = jnp.where(eligible, scores_cn, NEG)
+    winner = jnp.argmax(cand, axis=0)  # (N,) first max == lowest class
+    mined = jnp.any(eligible, axis=0)  # (N,)
+    best = jnp.max(cand, axis=0)
+    gt_labels = (
+        jax.nn.one_hot(winner + 1, num_classes + 1, dtype=dtype)
+        * mined[:, None].astype(dtype)
+    )
+    gt_weights = jnp.where(mined, best, -1.0).astype(dtype)
+    return gt_labels, gt_weights, mined
 
 
 def _per_class_seeds_and_nms(cls_prob, iou_map, valid, keep_count, k_seed, nms_thr):
@@ -145,40 +185,26 @@ def cim_mine(
     )
     seed_idx, keep_seed = seeds_fn(predict_cls)  # (C, K), (C, K)
 
-    # ---- phase B: containment mining + sequential class update -------- #
+    # ---- phase B: containment mining (vmapped) + winner reduction ----- #
     row_ok = (asy_iou_flag & valid).astype(dtype)  # (N,)
 
-    def body(carry, c_idx):
-        gt_labels, gt_weights = carry
-        s_idx = seed_idx[c_idx]  # (K,)
-        s_keep = keep_seed[c_idx]  # (K,)
-        det_c = det[:, c_idx]
-        preds_c = preds[:, c_idx]
-
+    def chosen_one_class(s_idx, s_keep, det_c):
         asy_seed = asy_iou_map[:, s_idx]  # (N, K): rows contain seed cols
         contain = (asy_seed > params.con_thr) & (row_ok[:, None] > 0)  # (N, K)
         col_has = jnp.any(contain, axis=0) & s_keep  # (K,)
         # detector-argmax per seed column among containing proposals
         cand = jnp.where(contain, det_c[:, None], NEG)  # (N, K)
         col_arg = jnp.argmax(cand, axis=0)  # (K,)
-        chosen = (
-            jnp.zeros((n,), bool).at[col_arg].max(col_has)
-        )  # union over columns == torch.unique(res_idx)
+        # union over columns == torch.unique(res_idx)
+        return jnp.zeros((n,), bool).at[col_arg].max(col_has)
 
-        is_higher = preds_c > gt_weights
-        upd = chosen & is_higher & (labels[c_idx] > 0)
-        onehot = jnp.zeros((c + 1,), dtype).at[c_idx + 1].set(1.0)
-        gt_labels = jnp.where(upd[:, None], onehot[None, :], gt_labels)
-        gt_weights = jnp.where(upd, preds_c, gt_weights)
-        return (gt_labels, gt_weights), None
-
-    vz = _vzero(predict_cls)
-    init = (
-        jnp.zeros((n, c + 1), dtype) + vz,
-        jnp.full((n,), -1.0, dtype) + vz,
-    )
-    (gt_labels, gt_weights), _ = jax.lax.scan(body, init, jnp.arange(c))
-    gt_mask = jnp.sum(gt_labels, axis=-1) > 0
+    chosen = _map_classes(
+        chosen_one_class, (seed_idx, keep_seed, det.T), c
+    )  # (C, N)
+    eligible = chosen & (labels > 0)[:, None]
+    # outputs derive from sharded inputs, so no _vzero vma fixup is needed
+    # (it existed for the scan's constant carry init)
+    gt_labels, gt_weights, gt_mask = _winner_reduce(eligible, preds.T, c, dtype)
     return MinedGT(gt_labels, gt_weights, gt_mask, asy_iou_flag)
 
 
@@ -199,21 +225,12 @@ def mist_mine(preds, labels, iou_map, valid, params: MiningParams) -> MinedGT:
     )
     seed_idx, keep_seed = seeds_fn(preds)
 
-    def body(carry, c_idx):
-        gt_labels, gt_weights = carry
-        probs_c = preds[:, c_idx]
-        kept = jnp.zeros((n,), bool).at[seed_idx[c_idx]].max(keep_seed[c_idx])
-        is_higher = probs_c > gt_weights
-        upd = kept & is_higher & (labels[c_idx] > 0)
-        onehot = jnp.zeros((c + 1,), dtype).at[c_idx + 1].set(1.0)
-        gt_labels = jnp.where(upd[:, None], onehot[None, :], gt_labels)
-        gt_weights = jnp.where(upd, probs_c, gt_weights)
-        return (gt_labels, gt_weights), None
+    def kept_one_class(s_idx, s_keep):
+        return jnp.zeros((n,), bool).at[s_idx].max(s_keep)
 
-    vz = _vzero(preds)
-    init = (jnp.zeros((n, c + 1), dtype) + vz, jnp.full((n,), -1.0, dtype) + vz)
-    (gt_labels, gt_weights), _ = jax.lax.scan(body, init, jnp.arange(c))
-    gt_mask = jnp.sum(gt_labels, axis=-1) > 0
+    kept = _map_classes(kept_one_class, (seed_idx, keep_seed), c)  # (C, N)
+    eligible = kept & (labels > 0)[:, None]
+    gt_labels, gt_weights, gt_mask = _winner_reduce(eligible, preds.T, c, dtype)
     return MinedGT(gt_labels, gt_weights, gt_mask, jnp.ones((n,), bool) & valid)
 
 

@@ -200,6 +200,67 @@ def test_cim_mine_coco_label_space(rng):
     np.testing.assert_array_equal(np.asarray(got.gt_mask), want_idx)
 
 
+def test_class_tie_goes_to_lowest_class():
+    """Two labeled classes mine the SAME proposal with exactly equal
+    cls*det scores: the reference iterates classes ascending with a strict
+    `>` update (heads.py:397-402), so the LOWEST class index keeps it.
+    Guards the argmax-first-max winner reduction that replaced the
+    sequential class scan (cim_tpu/mining/cim.py:_winner_reduce)."""
+    n, c = 4, 10
+    cls = np.zeros((n, c), np.float32)
+    det = np.zeros((n, c), np.float32)
+    for k in (3, 7):
+        cls[0, k] = 0.5
+        det[0, k] = 0.4
+        cls[1, k] = 0.1
+        det[1, k] = 0.1
+    labels = np.zeros(c, np.float32)
+    labels[[3, 7]] = 1
+    iou = np.eye(n, dtype=np.float32)
+    asy = np.eye(n, dtype=np.float32)
+    params = MiningParams(p_seed=0.1)  # ceil(0.1*4) = 1 seed per class
+
+    want_lab, want_w, _, _ = oracle_cim.cim_label(
+        cls, det, labels, iou, asy, params.p_seed, params.nms_thr, params.con_thr
+    )
+    assert want_lab[0, 3 + 1] == 1 and want_lab[0, 7 + 1] == 0  # oracle sanity
+
+    got = cim_mine(
+        jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+        jnp.asarray(iou), jnp.asarray(asy), jnp.ones(n, bool), params,
+    )
+    np.testing.assert_allclose(np.asarray(got.gt_labels), want_lab, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.gt_weights), want_w, atol=1e-6)
+
+    got_mist = mist_mine(
+        jnp.asarray(cls * det), jnp.asarray(labels), jnp.asarray(iou),
+        jnp.ones(n, bool), params,
+    )
+    glab = np.asarray(got_mist.gt_labels)
+    assert glab[0, 3 + 1] == 1 and glab[0, 7 + 1] == 0
+
+
+@pytest.mark.parametrize("c", [33, 40, 64, 80])
+def test_chunked_class_map_matches_oracle(c):
+    """Class counts above the _CLASS_CHUNK bound run through the padded
+    lax.map path; every pad remainder (31, 24, 0, 16) must be invisible."""
+    rng = np.random.RandomState(c)
+    cls, det, labels, iou, asy = _make_instance(rng, n=50, c=c, n_labels=6)
+    params = MiningParams()
+    want_lab, want_w, want_idx, _ = oracle_cim.cim_label(
+        cls, det, labels, iou, asy, params.p_seed, params.nms_thr, params.con_thr
+    )
+    got = cim_mine(
+        jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+        jnp.asarray(iou), jnp.asarray(asy), jnp.ones(50, bool), params,
+    )
+    np.testing.assert_allclose(np.asarray(got.gt_labels), want_lab, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.gt_weights), want_w, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got.gt_mask), want_idx)
+
+
 @pytest.mark.parametrize("seed", list(range(8)))
 @pytest.mark.parametrize("miner", ["cim", "mist"])
 def test_per_class_mined_count_bounded_by_max_seeds(seed, miner):
