@@ -60,7 +60,11 @@ def load_iou_maps(cfg, entry, index):
     # (engine.train.compute_losses); the old f16->f32->f16 round trip plus
     # an identity np.ix_ gather was ~60 ms/image of pure host copies
     n = iou.shape[0]
-    if len(index) == n and index[0] == 0 and index[-1] == n - 1:
+    index = np.asarray(index)
+    # identity fast path: must check full monotonicity, not just the
+    # endpoints — an unsorted permutation would otherwise silently get
+    # un-permuted IoU maps
+    if len(index) == n and n > 0 and index[0] == 0 and (np.diff(index) == 1).all():
         return iou, asy  # full contiguous subset: no gather needed
     iou = iou[np.ix_(index, index)]
     asy = asy[np.ix_(index, index)]

@@ -271,6 +271,17 @@ def iou_rle(dts: list, gts: list, iscrowd=None) -> np.ndarray:
     if d == 0 or g == 0:
         return out
     if _native is not None:
+        # the native run-walk compares counts positionally and never sees
+        # 'size' — dt/gt RLEs from different canvases would silently
+        # produce wrong IoUs where the decode fallback raises, so check
+        # canvas agreement up front
+        sizes = {tuple(r["size"]) for r in dts} | {tuple(r["size"]) for r in gts}
+        if len(sizes) > 1:
+            raise ValueError(
+                f"iou_rle: RLEs span multiple canvases {sorted(sizes)}; "
+                "all dt/gt masks must share one (h, w)"
+            )
+
         def _cnts(r):
             c = r["counts"]
             if isinstance(c, bytes):

@@ -48,7 +48,13 @@ def _dets_by_class(dataset, all_boxes, imagenames):
     in 1-based coordinates on both sides. Our pipeline's 0-based dets
     must be lifted the same way or every det box sits one pixel
     up-and-left of the reference protocol's, shifting borderline IoU
-    matches and the resulting mAP/CorLoc."""
+    matches and the resulting mAP/CorLoc.
+
+    Coordinates and scores are additionally rounded through the
+    reference's result-file formats ('{:.1f}' / '{:.3f}',
+    voc_dataset_evaluator.py:96-98) — the reference evaluates what it
+    re-parses from disk, so full-precision floats here could flip
+    borderline IoU>thresh comparisons relative to a byte-faithful run."""
     classes = classes_for(dataset.num_classes)
     out = {c: [] for c in classes}
     for j, cls in enumerate(classes):
@@ -59,7 +65,14 @@ def _dets_by_class(dataset, all_boxes, imagenames):
             name = imagenames[im_i]
             for d in dets:
                 out[cls].append(
-                    (name, float(d[4]), d[0] + 1, d[1] + 1, d[2] + 1, d[3] + 1)
+                    (
+                        name,
+                        float(f"{float(d[4]):.3f}"),
+                        float(f"{d[0] + 1:.1f}"),
+                        float(f"{d[1] + 1:.1f}"),
+                        float(f"{d[2] + 1:.1f}"),
+                        float(f"{d[3] + 1:.1f}"),
+                    )
                 )
     return out
 

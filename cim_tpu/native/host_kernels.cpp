@@ -189,14 +189,18 @@ int rle_from_string(const char* s, int len, uint32_t* out_counts) {
   return m;
 }
 
-// counts -> (h, w) uint8 row-major mask (column-major runs).
+// counts -> (h, w) uint8 row-major mask (column-major runs). Runs are
+// clamped to the h*w canvas so malformed/truncated counts can never write
+// out of bounds (the Python fallback pads/truncates; keep parity).
 void rle_decode(const uint32_t* counts, int m, int h, int w, uint8_t* mask) {
+  const long long total = (long long)h * (long long)w;
   long long pos = 0;
   uint8_t val = 0;
-  for (int i = 0; i < m; ++i) {
+  for (int i = 0; i < m && pos < total; ++i) {
     if (val) {
-      for (uint32_t j = 0; j < counts[i]; ++j) {
-        long long p = pos + j;
+      long long run_end = pos + (long long)counts[i];
+      if (run_end > total) run_end = total;
+      for (long long p = pos; p < run_end; ++p) {
         mask[(p % h) * w + (p / h)] = 1;  // column-major -> row-major
       }
     }

@@ -152,3 +152,20 @@ def test_train_loader_groups_by_proposal_bucket(rng):
 
     # both proposal buckets appear, each batch uniform in N
     assert shapes == {32, 64}
+
+
+def test_load_iou_maps_permuted_index_gathers():
+    """A full-length but UNSORTED index must gather, not hit the identity
+    fast path (which used to check only the two endpoints)."""
+    from cim_tpu.data.loader import load_iou_maps
+
+    n = 4
+    iou = np.arange(n * n, dtype=np.float16).reshape(n, n)
+    entry = {"iou_map": iou, "asy_iou_map": iou * 2}
+    idx = np.array([0, 2, 1, 3])
+    got_iou, got_asy = load_iou_maps(None, entry, idx)
+    np.testing.assert_array_equal(got_iou, iou[np.ix_(idx, idx)])
+    np.testing.assert_array_equal(got_asy, (iou * 2)[np.ix_(idx, idx)])
+    # the sorted identity index still short-circuits to the same values
+    ident, _ = load_iou_maps(None, entry, np.arange(n))
+    np.testing.assert_array_equal(ident, iou)

@@ -126,3 +126,37 @@ def test_native_rle_iou_matches_mask_math():
     crowd = native.rle_iou_counts(counts[:1], counts[1:2], [1])[0, 0]
     inter = np.logical_and(masks[0], masks[1]).sum()
     assert abs(crowd - inter / masks[0].sum()) < 1e-12
+
+
+def test_native_rle_decode_clamps_malformed_counts():
+    """Malformed/truncated counts whose total exceeds h*w must not write
+    out of bounds; the native decode clamps to the canvas exactly like
+    the numpy fallback's pad/truncate (evaluation/rle.py:43-52)."""
+    from cim_tpu.evaluation import rle as rle_mod
+
+    h, w = 4, 3
+    # total = 2 + 100 = 102 >> 12 = h*w; the 1-run overflows the canvas
+    bad_counts = [2, 100]
+    got = native.rle_decode_mask(bad_counts, h, w)
+    counts = np.asarray(bad_counts, np.int64)
+    vals = (np.arange(len(counts), dtype=np.uint8) & 1)
+    flat = np.repeat(vals, counts)[: h * w]
+    want = flat.reshape((h, w), order="F")
+    np.testing.assert_array_equal(got, want)
+    # short counts (total < h*w) still zero-fill the tail
+    got_short = native.rle_decode_mask([1, 2], h, w)
+    assert got_short.shape == (h, w) and got_short.sum() == 2
+
+
+def test_iou_rle_rejects_mixed_canvases():
+    """The native rle_iou walk compares runs positionally and never sees
+    'size'; mixed canvases must raise instead of silently mis-scoring."""
+    from cim_tpu.evaluation.rle import encode, iou_rle
+
+    a = encode(np.ones((8, 8), np.uint8))
+    b = encode(np.ones((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="canvas"):
+        iou_rle([a], [b])
+    # same canvas still fine
+    iou = iou_rle([a], [a])
+    assert iou.shape == (1, 1) and abs(iou[0, 0] - 1.0) < 1e-9
