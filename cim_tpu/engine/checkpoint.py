@@ -31,7 +31,8 @@ def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
 
 
 def save_ckpt(ckpt_dir: str, state: TrainState, stats: Any, extra: dict | None = None):
-    mgr = _manager(ckpt_dir)
+    import jax
+
     payload = {
         "params": state.params,
         # optimizer state as a plain dict: works for SGDState and AdamState
@@ -39,6 +40,15 @@ def save_ckpt(ckpt_dir: str, state: TrainState, stats: Any, extra: dict | None =
         "stats": stats,
         "extra": extra or {},
     }
+    # Fetch to host numpy before handing to orbax: under multi-process
+    # (jax.distributed) only rank 0 saves (tools/train.py), and orbax's
+    # global-array path would wait on the other processes; dp-replicated
+    # arrays are fully addressable on every host, so the local copy IS
+    # the global value. No-op cost single-process.
+    payload = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, payload
+    )
+    mgr = _manager(ckpt_dir)
     mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
     mgr.close()
@@ -92,9 +102,18 @@ def load_ckpt(ckpt_dir: str, state: TrainState, stats: Any, step: int | None = N
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     mgr.close()
     opt_state = type(state.opt_state)(**restored["opt_state"])
+    # The snapshot label is state.step AT SAVE TIME = the number of
+    # completed steps = the index of the NEXT step to run (lr_schedule is
+    # evaluated at state.step before the increment, engine/train.py).
+    # Restoring exactly `step` therefore resumes at the first un-run step
+    # — the reference's "resume at ckpt.step+1" (tools/train.py:328)
+    # expressed in this counter: its ckpt.step is the last COMPLETED
+    # index, ours is already one past it. A former `step + 1` here
+    # silently skipped one step (and one LR-schedule point) per resume
+    # segment; caught by the multi-process resume-parity dryrun.
     new_state = TrainState(
         params=restored["params"],
         opt_state=opt_state,
-        step=np.asarray(step, np.int32) + 1,  # resume at step+1 (train.py:328)
+        step=np.asarray(step, np.int32),
     )
     return new_state, restored["stats"]

@@ -34,7 +34,10 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored.opt_state.momentum["layer"]["bias"]), 1.0
     )
-    assert int(restored.step) == 8  # resume at step+1 (reference train.py:328)
+    # state.step counts COMPLETED steps (= index of the next step to run),
+    # so resume restores it exactly; the reference's ckpt.step+1
+    # (train.py:328) is the same point in its last-completed-index counter
+    assert int(restored.step) == 7
     np.testing.assert_allclose(np.asarray(rstats["bn"]["mean"]), [0, 1, 2])
 
 
@@ -45,7 +48,7 @@ def test_checkpoint_keeps_multiple(tmp_path):
         save_ckpt(ckpt_dir, _state(s, s), stats)
     assert latest_step(ckpt_dir) == 3
     restored, _ = load_ckpt(ckpt_dir, _state(0, 0), stats, step=2)
-    assert int(restored.step) == 3
+    assert int(restored.step) == 2
 
 
 def test_wait_for_checkpoint(tmp_path):
