@@ -18,6 +18,55 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Pinned end-to-end metric values of the fixed-seed synthetic chain
+# (VERDICT r3 item 4): any semantics drift anywhere in
+# train -> test_net -> evaluation that moves a metric fails loudly.
+# Regenerate with CIM_TPU_UPDATE_GOLDEN=1 after an INTENDED change and
+# commit the diff.
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden_cli_chain.json"
+)
+
+
+def _load_golden():
+    if os.environ.get("CIM_TPU_UPDATE_GOLDEN") == "1":
+        return None
+    assert os.path.exists(GOLDEN_PATH), (
+        f"{GOLDEN_PATH} missing; run once with CIM_TPU_UPDATE_GOLDEN=1"
+    )
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def _json_eq(a, b, tol=1e-9):
+    """Recursive equality over json trees; floats compared with abs tol
+    (NaN == NaN)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_json_eq(a[k], b[k], tol) for k in a)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_json_eq(x, y, tol) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, float):
+        if np.isnan(a) and np.isnan(b):
+            return True
+        return abs(a - b) <= tol
+    return a == b
+
+
+def _copypaste_metrics(text, task):
+    """Parse one 'copypaste:' block (task header, names line, values
+    line) out of a CLI's combined output."""
+    lines = [
+        line.split("copypaste: ", 1)[1]
+        for line in text.splitlines()
+        if "copypaste: " in line
+    ]
+    for i, line in enumerate(lines):
+        if line == f"Task: {task}":
+            names = lines[i + 1].split(",")
+            vals = lines[i + 2].split(",")
+            return {k: float(v) for k, v in zip(names, vals)}
+    raise AssertionError(f"no copypaste block for task {task!r} in output")
+
 
 def _run(args, timeout=560):
     env = dict(os.environ)
@@ -105,13 +154,49 @@ def disk_dataset(tmp_path, rng):
     with open(tmp_path / "label_assign.pkl", "wb") as f:
         pickle.dump(mats, f)
 
+    # minimal VOC devkit for the same images, so the CorLoc / VOC-protocol
+    # leg (xml gt, 1-based coords) runs end to end: the gt of image i are
+    # its first two proposals with VOC class names for cats 1..3
+    from cim_tpu.data.voc_meta import classes_for
+
+    voc_classes = classes_for(ncls)
+    anno_dir = tmp_path / "devkit" / "VOC2012" / "Annotations"
+    sets_dir = tmp_path / "devkit" / "VOC2012" / "ImageSets" / "Main"
+    anno_dir.mkdir(parents=True)
+    sets_dir.mkdir(parents=True)
+    names = []
+    for i in range(n_images):
+        name = f"{i:06d}"
+        names.append(name)
+        objs = []
+        for ann in annotations:
+            if ann["image_id"] != i + 1:
+                continue
+            x, y, w, h = ann["bbox"]
+            cls_name = voc_classes[ann["category_id"] - 1]
+            objs.append(
+                f"<object><name>{cls_name}</name><difficult>0</difficult>"
+                f"<bndbox><xmin>{x + 1:.0f}</xmin><ymin>{y + 1:.0f}</ymin>"
+                f"<xmax>{x + w:.0f}</xmax><ymax>{y + h:.0f}</ymax>"
+                "</bndbox></object>"
+            )
+        (anno_dir / f"{name}.xml").write_text(
+            "<annotation>" + "".join(objs) + "</annotation>"
+        )
+    (sets_dir / "synthval.txt").write_text("\n".join(names) + "\n")
+
     # dataset registry consumed by the CLIs via CIM_TPU_DATASET_REGISTRY
     registry = tmp_path / "registry.json"
     registry.write_text(json.dumps({
         "synth_disk": {
             "image_directory": str(img_dir),
             "annotation_file": str(ann_file),
-        }
+        },
+        "voc_2012_synthval": {
+            "image_directory": str(img_dir),
+            "annotation_file": str(ann_file),
+            "devkit_dir": str(tmp_path / "devkit"),
+        },
     }))
     return tmp_path
 
@@ -120,6 +205,8 @@ def disk_dataset(tmp_path, rng):
 def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
     root = disk_dataset
     out_dir = root / "out"
+    golden = _load_golden()
+    collected = {}
 
     def run(args, timeout=560, xla_flags=None):
         env = dict(os.environ)
@@ -167,16 +254,34 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
     # 2. inference + detection eval (COCO bbox) from the checkpoint —
     # through the mesh-sharded batched evaluator (TPU.EVAL_DEVICES): the
     # stacked batch axis partitions over 4 of 8 forced CPU devices,
-    # driving the in-process multi-device eval path end to end
+    # driving the in-process multi-device eval path end to end.
+    # The committed golden box AP also arms the EXPECTED_RESULTS gate
+    # (reference task_evaluation.py:103-156): rc=0 proves the gate PASSed
+    # against the pinned value inside the CLI itself.
+    gate_sets = []
+    if golden is not None:
+        gate_sets = [
+            "EXPECTED_RESULTS",
+            f"[['synth_disk','box','AP',{golden['box']['AP']}]]",
+            "EXPECTED_RESULTS_ATOL", "0.0002",
+            "EXPECTED_RESULTS_RTOL", "0.0",
+        ]
     out = run(
         ["tools/test_net.py", "--cfg", "configs/resnet50_voc.yaml",
          "--load_ckpt", str(out_dir / "ckpt"),
          "--output_dir", str(out_dir / "test")]
         + common_sets
-        + ["TPU.EVAL_BATCH", "4", "TPU.EVAL_DEVICES", "4"],
+        + ["TPU.EVAL_BATCH", "4", "TPU.EVAL_DEVICES", "4"]
+        + gate_sets,
         xla_flags="--xla_force_host_platform_device_count=8",
     )
     assert out.returncode == 0, out.stderr[-4000:]
+    collected["box"] = _copypaste_metrics(out.stdout + out.stderr, "box")
+    if golden is not None:
+        assert _json_eq(collected["box"], golden["box"], tol=1e-4), (
+            f"detection metrics drifted: {collected['box']} vs golden "
+            f"{golden['box']}"
+        )
     det_file = out_dir / "test" / "detections.pkl"
     assert det_file.exists()
     with open(det_file, "rb") as f:
@@ -207,6 +312,27 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
             err_msg="multi_proc detections diverged from single-process",
         )
 
+    # 2d. CorLoc discovery protocol through the VOC xml-devkit path
+    # (reference voc_dataset_evaluator._eval_discovery + dis_eval): same
+    # checkpoint, --corloc, VOC-aliased dataset -> discovery.pkl +
+    # voc_CorLoc.json; the mean is pinned
+    out = run(
+        ["tools/test_net.py", "--cfg", "configs/resnet50_voc.yaml",
+         "--load_ckpt", str(out_dir / "ckpt"), "--corloc",
+         "--output_dir", str(out_dir / "corloc")]
+        + common_sets
+        + ["TEST.DATASETS", "('voc_2012_synthval',)"]
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    assert (out_dir / "corloc" / "discovery.pkl").exists()
+    corloc = json.loads((out_dir / "corloc" / "voc_CorLoc.json").read_text())
+    assert np.isfinite(corloc["mean"])
+    collected["corloc"] = corloc
+    if golden is not None:
+        assert _json_eq(corloc, golden["corloc"]), (
+            f"CorLoc drifted: {corloc} vs golden {golden['corloc']}"
+        )
+
     # 3. instance-segmentation evaluation (mask NMS + RLE + COCOeval)
     out = run(
         ["tools/evaluation.py", "--cfg", "configs/resnet50_voc.yaml",
@@ -224,6 +350,17 @@ def test_train_testnet_evaluation_chain(disk_dataset, tmp_path):
     for t in (25, 50, 70, 75):
         assert f"mAP{t}" in metrics
         assert np.isfinite(metrics[f"mAP{t}"])
+    collected["inst_seg"] = metrics
+    # json-normalize both sides (nan -> None-safe repr, int/float unify)
+    collected = json.loads(json.dumps(collected, sort_keys=True, default=float))
+    if golden is None:
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(collected, f, indent=2, sort_keys=True)
+        pytest.skip(f"golden regenerated at {GOLDEN_PATH}; commit it")
+    assert _json_eq(collected["inst_seg"], golden["inst_seg"]), (
+        f"instance-seg metrics drifted: {collected['inst_seg']} vs golden "
+        f"{golden['inst_seg']}"
+    )
 
 
 @pytest.mark.slow

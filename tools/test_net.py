@@ -45,6 +45,10 @@ def parse_args():
                         "multi_gpu_test_net_on_dataset + utils/subprocess.py)")
     parser.add_argument("--wait", action="store_true",
                         help="wait for the checkpoint to appear")
+    parser.add_argument("--corloc", action="store_true",
+                        help="train-set discovery protocol (CorLoc eval + "
+                        "discovery.pkl) on any dataset; implied by "
+                        "--dataset voc2012trainaug like the reference")
     return parser.parse_args()
 
 
@@ -76,6 +80,7 @@ def main():
         cfg.MODEL.NUM_CLASSES = 80
     elif args.dataset is not None:
         raise ValueError(f"Unexpected args.dataset: {args.dataset}")
+    check_corloc = check_corloc or args.corloc
     assert_and_infer_cfg(cfg, make_immutable=False)
 
     output_dir_early = args.output_dir or os.path.join(
