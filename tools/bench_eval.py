@@ -6,16 +6,134 @@ x hflip + identity, configs/resnet50_voc.yaml:42-52) at production shape
 (VOC-sized image, ~1900 COB proposals), sequential (reference-style
 one-image-at-a-time; round-1 number 1.64 s/image) vs the cross-image
 BatchedEvaluator. Prints one JSON line per mode.
+
+Mode "e2e" measures the FULL test_net -> evaluation pipeline end to end
+(reference lib/core/test_engine.py:269-310 loop + tools/evaluation.py):
+JPEG decode from disk, 10-pass TTA, detections.pkl, NMS post-processing
+(overlapped with device TTA by engine.test_engine._AsyncPost), COCO box
+eval, then the instance-seg tail (mask NMS + RLE encode + COCOeval
+segm) — one measured images/sec for the whole chain.
 """
 import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def _write_e2e_dataset(data_dir, n_images, n_props, rng):
+    """On-disk synthetic VOC-shaped dataset: real JPEGs (decode cost is
+    part of the pipeline), COCO json with 2 gt/image, proposal pkl."""
+    import pickle
+
+    import cv2
+
+    from cim_tpu.data.synthetic import masks_to_7x7, synthetic_masks
+    from cim_tpu.evaluation import rle as rle_util
+
+    images, annotations, aid = [], [], 1
+    prop = {"indexes": [], "boxes": [], "masks": [], "scores": []}
+    for i in range(n_images):
+        h, w = 375, 500
+        name = f"{i:06d}.jpg"
+        cv2.imwrite(
+            os.path.join(data_dir, name),
+            (rng.rand(h, w, 3) * 255).astype(np.uint8),
+        )
+        images.append({"id": i + 1, "width": w, "height": h, "file_name": name})
+        masks, boxes = synthetic_masks(rng, n_props, h, w)
+        prop["indexes"].append(i + 1)
+        prop["boxes"].append(boxes)
+        prop["masks"].append(masks_to_7x7(masks, boxes).astype(np.float32))
+        prop["scores"].append(rng.rand(n_props).astype(np.float32))
+        for j in range(2):
+            b = boxes[j]
+            annotations.append({
+                "id": aid, "image_id": i + 1, "category_id": (j % 3) + 1,
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0] + 1), float(b[3] - b[1] + 1)],
+                "segmentation": rle_util.encode(masks[j].astype(np.uint8)),
+                "area": float(masks[j].sum()), "iscrowd": 0,
+            })
+            aid += 1
+    with open(os.path.join(data_dir, "ann.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": c + 1, "name": f"c{c}"}
+                                  for c in range(20)]}, f)
+    with open(os.path.join(data_dir, "props.pkl"), "wb") as f:
+        pickle.dump(prop, f)
+
+
+def run_e2e(cfg, trainer, variables, args):
+    """One wall-clock over the whole test_net -> evaluation chain."""
+    from cim_tpu.data import catalog
+    from cim_tpu.engine.test_engine import post_process_results, test_net
+    from cim_tpu.evaluation import task_evaluation
+    from tools.evaluation import eval_shard
+    from tools.evaluation import coco_inst_seg_eval
+
+    data_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+    rng = np.random.RandomState(0)
+    _write_e2e_dataset(data_dir, args.n_images, args.n_props, rng)
+    catalog.register_dataset("bench_e2e", {
+        catalog.IM_DIR: data_dir,
+        catalog.ANN_FN: os.path.join(data_dir, "ann.json"),
+    })
+    cfg.TEST.DATASETS = ("bench_e2e",)
+    cfg.TPU.EVAL_BATCH = args.eval_batch
+
+    out_dir = os.path.join(data_dir, "out")
+    t0 = time.time()
+    all_scores, roidb, dataset = test_net(
+        cfg, trainer.model, variables, "bench_e2e",
+        os.path.join(data_dir, "props.pkl"), out_dir,
+    )
+    t_detect = time.time() - t0
+    all_boxes = post_process_results(cfg, all_scores, roidb, dataset)
+    box_metrics = task_evaluation.evaluate_all(dataset, all_boxes, out_dir)
+    t_boxeval = time.time() - t0 - t_detect
+
+    opts = {
+        "num_classes": cfg.MODEL.NUM_CLASSES,
+        "score_thresh": cfg.TEST.SCORE_THRESH,
+        "nms": cfg.TEST.NMS,
+        "proposal_filter": True,
+        "coco_scheme": False,
+    }
+    cat_ids = sorted(dataset.COCO.getCatIds())
+    detections = {k: {"scores": v["scores"], "boxes": v["boxes"]}
+                  for k, v in all_scores.items()}
+    seg_results = eval_shard((opts, roidb, detections, None, cat_ids))
+    seg_metrics = coco_inst_seg_eval(dataset.COCO, seg_results)
+    total = time.time() - t0
+    t_segeval = total - t_detect - t_boxeval
+
+    from cim_tpu.engine.test import Evaluator
+
+    n_passes = (
+        len(Evaluator.tta_pass_list(cfg)) if cfg.TEST.BBOX_AUG.ENABLED else 1
+    )
+    print(json.dumps({
+        "metric": "eval_pipeline_images_per_sec_e2e",
+        "value": round(args.n_images / total, 3),
+        "unit": "images/sec",
+        "images": args.n_images,
+        "passes": n_passes,
+        "eval_batch": args.eval_batch,
+        "s_per_image_e2e": round(total / args.n_images, 3),
+        "breakdown_s_per_image": {
+            "tta_detect_incl_overlapped_nms": round(t_detect / args.n_images, 3),
+            "box_eval": round(t_boxeval / args.n_images, 3),
+            "inst_seg_eval": round(t_segeval / args.n_images, 3),
+        },
+        "box_AP": float(box_metrics.get("AP", -1)),
+        "inst_seg_mAP50": float(seg_metrics.get("mAP50", -1)),
+    }), flush=True)
 
 
 def main():
@@ -24,6 +142,7 @@ def main():
     ap.add_argument("--n_props", type=int, default=1900)
     ap.add_argument("--eval_batch", type=int, default=4)
     ap.add_argument("--modes", default="seq,batched")
+    ap.add_argument("--cfg", default=None, help="config yaml override")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +154,8 @@ def main():
 
     cfg = clone_cfg(
         load_cfg(
-            os.path.join(
+            args.cfg
+            or os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "configs",
                 "resnet50_voc.yaml",
@@ -43,7 +163,7 @@ def main():
         )
     )
     cfg.TPU.DATA_PARALLEL = 1
-    cfg.TPU.PALLAS_ROI_ALIGN = True
+    cfg.TPU.PALLAS_ROI_ALIGN = jax.default_backend() not in ("cpu",)
     cfg.TPU.REMAT_BOX_HEAD = False
 
     rng = np.random.RandomState(0)
@@ -70,6 +190,12 @@ def main():
 
     items = [make_item(i) for i in range(args.n_images)]
     modes = args.modes.split(",")
+
+    if "e2e" in modes:
+        run_e2e(cfg, trainer, variables, args)
+        modes = [m for m in modes if m != "e2e"]
+        if not modes:
+            return
 
     # analytic model FLOPs of the full TTA protocol for one image: the
     # shared train FLOP model (fwd+bwd = 3x fwd) divided back to fwd-only,
