@@ -22,11 +22,30 @@ logger = logging.getLogger(__name__)
 
 
 def _manager(ckpt_dir: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
+    import jax
+
+    # Scope orbax's internal barriers to THIS process. The checkpoint
+    # protocol here is rank-0-only save + independent per-rank restore of
+    # host numpy arrays (reference tools/train.py rank gating); orbax's
+    # default under jax.distributed is a collective save whose
+    # sync_global_processes waits on every rank — a rank-0-only call then
+    # deadlocks at a gloo barrier (caught by the resume-mode
+    # multihost_dryrun). A singleton active_processes set makes every
+    # orbax sync a no-op while keeping the on-disk layout identical.
+    kw = {"create": True}
+    if jax.process_count() > 1:
+        pi = jax.process_index()
+        kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+            primary_host=pi,
+            active_processes={pi},
+            barrier_sync_key_prefix=f"rank{pi}",
+        )
+        # orbax rejects create=True together with active_processes
+        kw["create"] = False
+        os.makedirs(os.path.abspath(ckpt_dir), exist_ok=True)
     return ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True
-        ),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, **kw),
     )
 
 

@@ -192,6 +192,16 @@ class Trainer:
         self._multiprocess = parallel.is_multiprocess(self.mesh)
         self._step = self._build_step()
 
+    def set_state(self, state: "TrainState"):
+        """Install an externally-built state (checkpoint restore). Under
+        jax.distributed the restored host arrays must become
+        fully-replicated GLOBAL arrays before the mesh-spanning jitted
+        step accepts them (caught by the resume-mode multihost_dryrun:
+        'Received incompatible devices')."""
+        from cim_tpu import parallel
+
+        self.state = TrainState(*parallel.replicate_tree(self.mesh, tuple(state)))
+
     def set_stats(self, stats):
         """Replace the frozen-BN stats AND rebuild the compiled step.
 

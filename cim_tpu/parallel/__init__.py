@@ -92,6 +92,23 @@ def host_shard_roidb(roidb, process_index: int | None = None,
     return roidb[pi::pc]
 
 
+def replicate_tree(mesh: Mesh, tree):
+    """Host (numpy) tree -> fully-replicated global arrays over `mesh`.
+
+    Needed when restoring a checkpoint under jax.distributed: every rank
+    reads the same host numpy values (engine/checkpoint.py restores
+    host-side), and a jitted step over the global mesh rejects
+    single-device-committed inputs. Identity on a single-process mesh
+    (jit replicates host arrays itself)."""
+    if not is_multiprocess(mesh):
+        return tree
+    sh = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree,
+    )
+
+
 def global_batch(mesh: Mesh, local_batch):
     """Assemble this host's (local_devices, accum, ...) numpy batch into
     global jax.Arrays sharded (dp, ...) over `mesh`. Identity on a

@@ -36,6 +36,13 @@ def test_global_batch_identity_on_single_process_mesh():
     assert out is batch  # identity, no copies
 
 
+def test_replicate_tree_identity_on_single_process_mesh():
+    mesh = parallel.data_parallel_mesh()
+    tree = {"a": np.ones((2, 3), np.float32), "b": np.int32(7)}
+    out = parallel.replicate_tree(mesh, tree)
+    assert out is tree  # identity, jit replicates host arrays itself
+
+
 def test_trainer_detects_single_process_mesh():
     import cim_tpu.models.tiny  # noqa: F401
     from cim_tpu.config import clone_cfg, get_default_cfg
@@ -80,3 +87,53 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     assert result["ok"]
     assert result["num_processes"] == 2
     assert result["max_loss_delta_vs_single_process"] < 1e-4
+
+
+def _run_dryrun_mode(mode, extra=()):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "tools/multihost_dryrun.py", "--mode", mode,
+         *extra],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1100,
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume_parity():
+    """Rank-0 orbax save -> full process restart -> ALL ranks restore ->
+    post-resume losses equal an uninterrupted single-process run
+    (VERDICT r3 item 5b). This path caught a real deadlock (orbax's
+    collective sync on a rank-0-only save) and a restore bug (host
+    arrays not re-replicated over the global mesh)."""
+    result = _run_dryrun_mode(
+        "resume", ("--num_processes", "2", "--local_devices", "1",
+                   "--steps", "2"),
+    )
+    assert result["ok"] and result["mode"] == "resume"
+    assert result["max_loss_delta_vs_uninterrupted"] < 1e-5
+
+
+@pytest.mark.slow
+def test_two_process_sharded_eval_matches_single():
+    """Real 2-process EVAL: each jax.distributed process infers its
+    parallel.eval_index_range roidb shard; merged detections must equal
+    a single-process full pass bitwise, with identical COCO metrics
+    (the reference's subprocess --range fan-out contract,
+    lib/utils/subprocess.py:41-145, via jax process identity)."""
+    result = _run_dryrun_mode(
+        "eval", ("--num_processes", "2", "--local_devices", "1"),
+    )
+    assert result["ok"] and result["mode"] == "eval"
+    assert result["max_score_delta"] == 0.0
+    assert result["AP_merged"] == result["AP_single"]

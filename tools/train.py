@@ -55,6 +55,12 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=3)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic fixtures (no data on disk)")
+    parser.add_argument("--synth_image", nargs=2, type=int, default=(256, 256),
+                        help="synthetic image bucket H W")
+    parser.add_argument("--synth_props", type=int, default=512,
+                        help="synthetic proposal pad (bucket size)")
+    parser.add_argument("--synth_valid", type=int, default=300,
+                        help="synthetic valid-proposal count")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host SPMD: jax.distributed.initialize()"
                              " + one global dp mesh; launch one process per"
@@ -144,9 +150,9 @@ def main():
         from cim_tpu.data.synthetic import make_microbatch, make_train_batch
 
         kw = dict(
-            image_hw=(256, 256),
-            n_props=min(cfg.TPU.PROPOSAL_PAD, 512),
-            n_valid=min(cfg.TPU.PROPOSAL_PAD, 300),
+            image_hw=tuple(args.synth_image),
+            n_props=min(cfg.TPU.PROPOSAL_PAD, args.synth_props),
+            n_valid=min(cfg.TPU.PROPOSAL_PAD, args.synth_valid),
             num_classes=cfg.MODEL.NUM_CLASSES,
         )
         cfg.TPU.PROPOSAL_PAD = kw["n_props"]
@@ -204,12 +210,10 @@ def main():
 
     if args.load_ckpt:
         state, stats = load_ckpt(args.load_ckpt, trainer.state, trainer.stats)
-        trainer.state = state
-        trainer.set_stats(stats)  # rebinds the stats the jitted step uses
         if not args.resume:
-            trainer.state = trainer.state._replace(
-                step=np.asarray(args.start_step, np.int32)
-            )
+            state = state._replace(step=np.asarray(args.start_step, np.int32))
+        trainer.set_state(state)  # replicates over the global mesh if needed
+        trainer.set_stats(stats)  # rebinds the stats the jitted step uses
         logger.info("Loaded checkpoint; starting at step %d", int(trainer.state.step))
     elif args.load_detectron:
         from cim_tpu.utils.torch_weights import body_for_config, load_detectron_pkl
