@@ -229,6 +229,12 @@ def get_default_cfg() -> AttrDict:
     c.TPU.PALLAS_ROI_ALIGN = False  # Pallas separable-matmul RoIAlign kernel
     c.TPU.REMAT_BOX_HEAD = True  # recompute box-head activations in bwd
     c.TPU.MAX_CLUSTERS = 64  # PCL cluster cap per image
+    # static cap on mined classes per image (0 = off, mine all C). The
+    # reference mines only label-present classes (heads.py:341); a budget
+    # >= every image's label count is bit-identical and C/budget x
+    # cheaper in the mining phases (COCO C=80: ~5x at budget 16). The
+    # loader asserts per-image label counts fit the budget.
+    c.TPU.MINING_CLASS_BUDGET = 0
     c.TPU.REMAT_BACKBONE = False  # jax.checkpoint the conv body
     c.TPU.GRAD_ACCUM = 4  # reference iter_size (tools/train.py:84-86)
     # eval: TTA passes of EVAL_BATCH images stacked per vmapped forward;

@@ -132,6 +132,14 @@ def build_microbatch(cfg, entry, im_scale, bucket_hw, rng, image=None,
     asy_map[:n_keep, :n_keep] = asy
 
     labels = entry["gt_classes"].reshape(-1)[:num_classes].astype(np.float32)
+    budget = int(cfg.TPU.MINING_CLASS_BUDGET)
+    if 0 < budget < num_classes and labels.sum() > budget:
+        # exactness condition of the class-budgeted mining (mining/cim.py
+        # _budget_select): every label class must fit the static budget
+        raise ValueError(
+            f"image {entry.get('image', '?')} has {int(labels.sum())} label "
+            f"classes > TPU.MINING_CLASS_BUDGET={budget}; raise the budget"
+        )
 
     return {
         "image": im_p,

@@ -46,6 +46,7 @@ def mining_params_for_branch(cfg, k: int) -> MiningParams:
         iou_thr=0.5 + cfg.step_rate * k,
         con_thr=cfg.adj_thr,
         anti_noise=cfg.Anti_noise_sampling,
+        class_budget=int(cfg.TPU.MINING_CLASS_BUDGET),
     )
 
 

@@ -46,6 +46,15 @@ class MiningParams(NamedTuple):
     iou_thr: float = 0.5
     con_thr: float = 0.85
     anti_noise: bool = True
+    # Static cap on mined classes per image (0 = off, mine all C).
+    # The reference mines ONLY classes present in the image labels
+    # (heads.py:341 `labels.nonzero()`; typically 1-3 of 20/80); the
+    # fixed-shape program can't be dynamic in the class count, but it CAN
+    # gather a static budget of label classes (present-first) and mine
+    # those — bit-identical whenever every image's label count fits the
+    # budget (guarded host-side by the loader), and C/budget x cheaper in
+    # phases A+B (5x at COCO C=80, budget 16).
+    class_budget: int = 0
 
     @property
     def nms_thr(self) -> float:
@@ -99,25 +108,38 @@ def _map_classes(fn, args, c):
     return out.reshape(-1, *out.shape[2:])[:c]
 
 
-def _winner_reduce(eligible, scores_cn, num_classes, dtype):
+def _winner_reduce(eligible, scores_cn, num_classes, dtype, class_ids=None):
     """The reference's sequential "higher-scoring class wins" update
     (heads.py:397-402) as a reduction: iterating classes ascending with a
     strict `>` replacement leaves proposal i labeled with the LOWEST class
     index attaining max_c scores[c, i] — jnp.argmax's first-max rule.
 
-    eligible/scores_cn: (C, N). Returns (gt_labels (N, C+1),
-    gt_weights (N,), gt_mask (N,)).
+    eligible/scores_cn: (C_sel, N). class_ids (C_sel,) maps row -> original
+    class index under a class budget; rows must then be ordered ascending
+    in original index within the eligible (label-present) group so the
+    first-max rule still resolves ties to the lowest ORIGINAL class.
+    Returns (gt_labels (N, num_classes+1), gt_weights (N,), gt_mask (N,)).
     """
     cand = jnp.where(eligible, scores_cn, NEG)
     winner = jnp.argmax(cand, axis=0)  # (N,) first max == lowest class
     mined = jnp.any(eligible, axis=0)  # (N,)
     best = jnp.max(cand, axis=0)
+    if class_ids is not None:
+        winner = class_ids[winner]
     gt_labels = (
         jax.nn.one_hot(winner + 1, num_classes + 1, dtype=dtype)
         * mined[:, None].astype(dtype)
     )
     gt_weights = jnp.where(mined, best, -1.0).astype(dtype)
     return gt_labels, gt_weights, mined
+
+
+def _budget_select(labels, budget: int):
+    """Static class-budget selection: present classes first, each group in
+    ascending class index (stable sort of the 0/1 labels), truncated to
+    `budget`. Exact as long as the image has <= budget labels — absent
+    classes padded in can never become eligible (labels[sel] == 0)."""
+    return jnp.argsort(-labels, stable=True)[:budget]
 
 
 def _per_class_seeds_and_nms(cls_prob, iou_map, valid, keep_count, k_seed, nms_thr):
@@ -159,6 +181,7 @@ def cim_mine(
       valid: (N,) proposal validity.
     """
     n, c = predict_cls.shape
+    num_classes = c  # one-hot width stays the ORIGINAL class count
     dtype = predict_cls.dtype
     n_valid = jnp.sum(valid.astype(jnp.int32))
     keep_count = seed_count(params.p_seed, n_valid)
@@ -167,6 +190,18 @@ def cim_mine(
     class_agnostic = predict_det.shape[-1] == 1
     det = jnp.broadcast_to(predict_det, (n, c)) if class_agnostic else predict_det
     preds = predict_cls * det
+
+    # static class budget: mine only a present-first selection of classes
+    # (the reference's labels.nonzero() restriction, heads.py:341, at
+    # fixed shape). sel == None -> mine all C (exact legacy path).
+    budget = int(params.class_budget or 0)
+    sel = _budget_select(labels, budget) if 0 < budget < c else None
+    if sel is not None:
+        predict_cls = predict_cls[:, sel]
+        det = det[:, sel]
+        preds = preds[:, sel]
+        labels = labels[sel]
+        c = budget
 
     # big-proposal filter (heads.py:338): row i is "big" when it contains
     # > 90% of the (valid) proposals.
@@ -204,7 +239,9 @@ def cim_mine(
     eligible = chosen & (labels > 0)[:, None]
     # outputs derive from sharded inputs, so no _vzero vma fixup is needed
     # (it existed for the scan's constant carry init)
-    gt_labels, gt_weights, gt_mask = _winner_reduce(eligible, preds.T, c, dtype)
+    gt_labels, gt_weights, gt_mask = _winner_reduce(
+        eligible, preds.T, num_classes, dtype, class_ids=sel
+    )
     return MinedGT(gt_labels, gt_weights, gt_mask, asy_iou_flag)
 
 
@@ -212,10 +249,18 @@ def mist_mine(preds, labels, iou_map, valid, params: MiningParams) -> MinedGT:
     """MIST fallback mining (reference MIST_label, heads.py:261-316;
     arXiv:2004.04725): top-p seeds + NMS only, no containment step."""
     n, c = preds.shape
+    num_classes = c
     dtype = preds.dtype
     n_valid = jnp.sum(valid.astype(jnp.int32))
     keep_count = seed_count(params.p_seed, n_valid)
     k_seed = max_seeds(params.p_seed, n)
+
+    budget = int(params.class_budget or 0)
+    sel = _budget_select(labels, budget) if 0 < budget < c else None
+    if sel is not None:
+        preds = preds[:, sel]
+        labels = labels[sel]
+        c = budget
 
     seeds_fn = jax.vmap(
         lambda probs: _per_class_seeds_and_nms(
@@ -230,7 +275,9 @@ def mist_mine(preds, labels, iou_map, valid, params: MiningParams) -> MinedGT:
 
     kept = _map_classes(kept_one_class, (seed_idx, keep_seed), c)  # (C, N)
     eligible = kept & (labels > 0)[:, None]
-    gt_labels, gt_weights, gt_mask = _winner_reduce(eligible, preds.T, c, dtype)
+    gt_labels, gt_weights, gt_mask = _winner_reduce(
+        eligible, preds.T, num_classes, dtype, class_ids=sel
+    )
     return MinedGT(gt_labels, gt_weights, gt_mask, jnp.ones((n,), bool) & valid)
 
 

@@ -291,3 +291,116 @@ def test_per_class_mined_count_bounded_by_max_seeds(seed, miner):
         )
     per_class = np.asarray(mined.gt_labels)[:, 1:].sum(axis=0)
     assert per_class.max() <= max_seeds(params.p_seed, n)
+
+
+# ----------------------------- class budget ------------------------------ #
+
+@pytest.mark.parametrize("miner", ["cim", "mist"])
+@pytest.mark.parametrize("c,budget,n_labels", [
+    (20, 8, 3), (20, 8, 8), (20, 4, 1), (80, 16, 3), (80, 16, 16),
+])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_class_budget_exact_when_labels_fit(miner, c, budget, n_labels, seed):
+    """TPU.MINING_CLASS_BUDGET: mining a present-first static selection of
+    `budget` classes is BIT-identical to mining all C whenever the image
+    has <= budget label classes (the reference itself only mines
+    labels.nonzero(), heads.py:341 — the budget is the fixed-shape form
+    of that restriction)."""
+    rng = np.random.RandomState(seed)
+    cls, det, labels, iou, asy = _make_instance(rng, n=50, c=c,
+                                                n_labels=n_labels)
+    valid = np.ones(50, bool)
+    full = MiningParams(p_seed=0.1, cls_thr=0.25, iou_thr=0.5, con_thr=0.85)
+    budgeted = full._replace(class_budget=budget)
+
+    if miner == "cim":
+        a = cim_mine(jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+                     jnp.asarray(iou), jnp.asarray(asy), jnp.asarray(valid),
+                     full)
+        b = cim_mine(jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+                     jnp.asarray(iou), jnp.asarray(asy), jnp.asarray(valid),
+                     budgeted)
+    else:
+        preds = cls * det
+        a = mist_mine(jnp.asarray(preds), jnp.asarray(labels),
+                      jnp.asarray(iou), jnp.asarray(valid), full)
+        b = mist_mine(jnp.asarray(preds), jnp.asarray(labels),
+                      jnp.asarray(iou), jnp.asarray(valid), budgeted)
+    for fa, fb, name in zip(a, b, MinedGT._fields):
+        np.testing.assert_array_equal(
+            np.asarray(fa), np.asarray(fb), err_msg=f"{miner}:{name}"
+        )
+
+
+def test_class_budget_tie_to_lowest_original_class():
+    """Equal winner scores across two label classes must still resolve to
+    the LOWEST original class index under a budget (ascending-order
+    strict-'>' of the reference)."""
+    n, c = 8, 20
+    iou = np.eye(n, dtype=np.float32)
+    asy = np.eye(n, dtype=np.float32)
+    cls = np.zeros((n, c), np.float32)
+    det = np.full((n, c), 0.5, np.float32)
+    labels = np.zeros(c, np.float32)
+    labels[[5, 11]] = 1  # two present classes, identical scores
+    cls[:, 5] = 0.4
+    cls[:, 11] = 0.4
+    full = MiningParams(p_seed=0.5, cls_thr=0.25, iou_thr=0.5, con_thr=0.85)
+    got = cim_mine(jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+                   jnp.asarray(iou), jnp.asarray(asy),
+                   jnp.ones(n, bool), full._replace(class_budget=4))
+    ref = cim_mine(jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+                   jnp.asarray(iou), jnp.asarray(asy),
+                   jnp.ones(n, bool), full)
+    np.testing.assert_array_equal(np.asarray(got.gt_labels),
+                                  np.asarray(ref.gt_labels))
+    mined_rows = np.asarray(got.gt_mask)
+    assert mined_rows.any()
+    # winner column is class 5+1 (lowest present class), never 11+1
+    assert np.asarray(got.gt_labels)[mined_rows, 6].all()
+
+
+def test_loader_rejects_label_count_over_budget():
+    from cim_tpu.config import clone_cfg, get_default_cfg
+    from cim_tpu.data.loader import build_microbatch
+
+    cfg = clone_cfg(get_default_cfg())
+    cfg.MODEL.NUM_CLASSES = 20
+    cfg.TPU.MINING_CLASS_BUDGET = 2
+    cfg.TPU.PROPOSAL_PAD = 8
+    rng = np.random.RandomState(0)
+    gt = np.zeros(20, np.float32)
+    gt[[1, 4, 9]] = 1  # 3 labels > budget 2
+    entry = {
+        "image": "x.jpg", "height": 32, "width": 32, "flipped": False,
+        "boxes": rng.rand(4, 4).astype(np.float32) * 16,
+        "masks": (rng.rand(4, 7, 7) > 0.5).astype(np.float32),
+        "mat": np.zeros((4, 21), np.float32),
+        "gt_classes": gt,
+        "iou_map": np.eye(4, dtype=np.float16),
+        "asy_iou_map": np.eye(4, dtype=np.float16),
+    }
+    with pytest.raises(ValueError, match="MINING_CLASS_BUDGET"):
+        build_microbatch(
+            cfg, entry, 1.0, (32, 32), rng,
+            image=(rng.rand(32, 32, 3) * 255).astype(np.uint8),
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_class_budget_exact_class_agnostic_det(seed):
+    """Budgeted mining with the class-agnostic (N, 1) detector head
+    (VGG configs): identical to full mining."""
+    rng = np.random.RandomState(seed)
+    cls, det, labels, iou, asy = _make_instance(rng, n=40, c=20, n_labels=3,
+                                                agnostic=True)
+    valid = np.ones(40, bool)
+    full = MiningParams(p_seed=0.1, cls_thr=0.25, iou_thr=0.5, con_thr=0.85)
+    a = cim_mine(jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+                 jnp.asarray(iou), jnp.asarray(asy), jnp.asarray(valid), full)
+    b = cim_mine(jnp.asarray(cls), jnp.asarray(det), jnp.asarray(labels),
+                 jnp.asarray(iou), jnp.asarray(asy), jnp.asarray(valid),
+                 full._replace(class_budget=6))
+    for fa, fb, name in zip(a, b, MinedGT._fields):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb),
+                                      err_msg=name)
