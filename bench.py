@@ -81,10 +81,12 @@ def bucket_for_scale(scale: int, max_size: int, multiple: int = 128):
     return _bucket_hw(*true_hw, multiple), true_hw
 
 
-def _fail(reason: str) -> "NoReturn":
+def _fail(reason: str, retryable: bool = True) -> "NoReturn":
     """Emit ONE structured JSON failure line (parseable by the driver)
     and exit non-zero. Replaces the raw traceback the round-3 capture
-    died with when the axon tunnel was down (BENCH_r03.json rc=1)."""
+    died with when the axon tunnel was down (BENCH_r03.json rc=1).
+    retryable=True only for transient failures (tunnel down/dropped);
+    deterministic ones (OOM, shape/config bugs) must not be re-queued."""
     print(
         json.dumps(
             {
@@ -93,13 +95,21 @@ def _fail(reason: str) -> "NoReturn":
                 "unit": "images/sec/chip",
                 "vs_baseline": 0.0,
                 "ok": False,
-                "retryable": True,
+                "retryable": retryable,
                 "reason": reason,
             }
         ),
         flush=True,
     )
     sys.exit(1)
+
+
+# substrings of transient (tunnel) failures; anything else is treated as
+# deterministic and marked retryable=false
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "Unable to initialize backend",
+    "Socket closed", "Connection reset", "failed to connect",
+)
 
 
 def probe_backend(timeout_s: float = 120.0) -> bool:
@@ -341,26 +351,16 @@ def main():
     try:
         run_bench()
     except AssertionError as e:
-        print(
-            json.dumps(
-                {
-                    "metric": "train_images_per_sec_per_chip_protocol",
-                    "value": 0.0,
-                    "unit": "images/sec/chip",
-                    "vs_baseline": 0.0,
-                    "ok": False,
-                    "retryable": False,
-                    "reason": f"measurement-integrity assert: {e}",
-                }
-            ),
-            flush=True,
-        )
-        sys.exit(1)
+        _fail(f"measurement-integrity assert: {e}", retryable=False)
     except Exception as e:  # tunnel died mid-run, OOM, etc.
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        _fail(f"{type(e).__name__}: {str(e)[:400]}")
+        msg = f"{type(e).__name__}: {str(e)[:400]}"
+        # only tunnel-transport failures are worth re-queuing; OOM /
+        # shape errors / bugs fail deterministically
+        retryable = any(m in msg for m in _TRANSIENT_MARKERS)
+        _fail(msg, retryable=retryable)
 
 
 if __name__ == "__main__":

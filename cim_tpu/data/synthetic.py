@@ -150,3 +150,62 @@ def make_train_batch(rng, n_devices, grad_accum, **kw):
             [np.stack([mb[key] for mb in row]) for row in mbs]
         )
     return out
+
+
+def write_synthetic_coco_dataset(data_dir, n_images, n_props, rng,
+                                 image_hw=(64, 96), write_jpegs=False,
+                                 n_categories=20):
+    """On-disk synthetic COCO-json dataset + COB-style proposal pkl.
+
+    Shared by the eval harnesses (tools/bench_eval.py e2e mode,
+    tools/multihost_dryrun.py eval mode): per image, `n_props` synthetic
+    mask proposals (boxes + 7x7 rasterizations + scores) and 2 gt
+    annotations taken from the first proposals (1-based wh bbox
+    convention, RLE segmentation). write_jpegs=True additionally writes
+    real JPEG files so decode cost is part of the measured pipeline;
+    otherwise callers feed images through an image_loader.
+    Returns (ann_path, props_path)."""
+    import json
+    import os
+    import pickle
+
+    from cim_tpu.evaluation import rle as rle_util
+
+    h, w = image_hw
+    images, annotations, aid = [], [], 1
+    prop = {"indexes": [], "boxes": [], "masks": [], "scores": []}
+    for i in range(n_images):
+        name = f"{i:06d}.jpg"
+        if write_jpegs:
+            import cv2
+
+            cv2.imwrite(
+                os.path.join(data_dir, name),
+                (rng.rand(h, w, 3) * 255).astype(np.uint8),
+            )
+        images.append({"id": i + 1, "width": w, "height": h,
+                       "file_name": name})
+        masks, boxes = synthetic_masks(rng, n_props, h, w)
+        prop["indexes"].append(i + 1)
+        prop["boxes"].append(boxes)
+        prop["masks"].append(masks_to_7x7(masks, boxes).astype(np.float32))
+        prop["scores"].append(rng.rand(n_props).astype(np.float32))
+        for j in range(2):
+            b = boxes[j]
+            annotations.append({
+                "id": aid, "image_id": i + 1, "category_id": (j % 3) + 1,
+                "bbox": [float(b[0]), float(b[1]),
+                         float(b[2] - b[0] + 1), float(b[3] - b[1] + 1)],
+                "segmentation": rle_util.encode(masks[j].astype(np.uint8)),
+                "area": float(masks[j].sum()), "iscrowd": 0,
+            })
+            aid += 1
+    ann_path = os.path.join(data_dir, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": c + 1, "name": f"c{c}"}
+                                  for c in range(n_categories)]}, f)
+    props_path = os.path.join(data_dir, "props.pkl")
+    with open(props_path, "wb") as f:
+        pickle.dump(prop, f)
+    return ann_path, props_path

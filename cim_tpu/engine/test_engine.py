@@ -102,7 +102,10 @@ def test_net(
     )
     num_images = len(roidb)
     all_scores = {}
-    post = _AsyncPost(cfg, check_corloc)
+    # overlap worker only when the post-processed results are consumed:
+    # --range child runs return raw scores and the parent recomputes from
+    # the range pkl (run_inference), so their children skip the host NMS
+    post = _AsyncPost(cfg, check_corloc) if ind_range is None else None
     timers = defaultdict(Timer)
 
     if image_loader is None:
@@ -148,7 +151,8 @@ def test_net(
             timers["im_detect_bbox"].toc(average=False)
             for e, (scores, boxes) in zip(chunk, results):
                 all_scores[e["image"]] = {"scores": scores, "boxes": boxes}
-                post.submit(e["image"], scores, boxes)
+                if post is not None:
+                    post.submit(e["image"], scores, boxes)
             done = min(w0 + window, num_images)
             ave = timers["im_detect_bbox"].total_time / done
             logger.info(
@@ -171,7 +175,8 @@ def test_net(
             )
             timers["im_detect_bbox"].toc()
             all_scores[entry["image"]] = {"scores": scores, "boxes": boxes}
-            post.submit(entry["image"], scores, boxes)
+            if post is not None:
+                post.submit(entry["image"], scores, boxes)
             if i % 10 == 0:
                 ave = timers["im_detect_bbox"].average_time
                 eta = (num_images - i - 1) * ave
@@ -194,9 +199,10 @@ def test_net(
     # reference's artifact, test_engine.py:312-330); post_process_results
     # consumes the cache in-process and recomputes identically when absent
     # (e.g. records loaded from a child range pkl)
-    cache_key = "_cls_boxes_corloc" if check_corloc else "_cls_boxes"
-    for key, cls_boxes in post.results().items():
-        all_scores[key][cache_key] = cls_boxes
+    if post is not None:
+        cache_key = "_cls_boxes_corloc" if check_corloc else "_cls_boxes"
+        for key, cls_boxes in post.results().items():
+            all_scores[key][cache_key] = cls_boxes
     return all_scores, roidb, dataset
 
 

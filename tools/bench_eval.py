@@ -28,45 +28,14 @@ import numpy as np
 
 def _write_e2e_dataset(data_dir, n_images, n_props, rng):
     """On-disk synthetic VOC-shaped dataset: real JPEGs (decode cost is
-    part of the pipeline), COCO json with 2 gt/image, proposal pkl."""
-    import pickle
+    part of the measured pipeline), COCO json with 2 gt/image, proposal
+    pkl — via the shared writer (cim_tpu.data.synthetic)."""
+    from cim_tpu.data.synthetic import write_synthetic_coco_dataset
 
-    import cv2
-
-    from cim_tpu.data.synthetic import masks_to_7x7, synthetic_masks
-    from cim_tpu.evaluation import rle as rle_util
-
-    images, annotations, aid = [], [], 1
-    prop = {"indexes": [], "boxes": [], "masks": [], "scores": []}
-    for i in range(n_images):
-        h, w = 375, 500
-        name = f"{i:06d}.jpg"
-        cv2.imwrite(
-            os.path.join(data_dir, name),
-            (rng.rand(h, w, 3) * 255).astype(np.uint8),
-        )
-        images.append({"id": i + 1, "width": w, "height": h, "file_name": name})
-        masks, boxes = synthetic_masks(rng, n_props, h, w)
-        prop["indexes"].append(i + 1)
-        prop["boxes"].append(boxes)
-        prop["masks"].append(masks_to_7x7(masks, boxes).astype(np.float32))
-        prop["scores"].append(rng.rand(n_props).astype(np.float32))
-        for j in range(2):
-            b = boxes[j]
-            annotations.append({
-                "id": aid, "image_id": i + 1, "category_id": (j % 3) + 1,
-                "bbox": [float(b[0]), float(b[1]),
-                         float(b[2] - b[0] + 1), float(b[3] - b[1] + 1)],
-                "segmentation": rle_util.encode(masks[j].astype(np.uint8)),
-                "area": float(masks[j].sum()), "iscrowd": 0,
-            })
-            aid += 1
-    with open(os.path.join(data_dir, "ann.json"), "w") as f:
-        json.dump({"images": images, "annotations": annotations,
-                   "categories": [{"id": c + 1, "name": f"c{c}"}
-                                  for c in range(20)]}, f)
-    with open(os.path.join(data_dir, "props.pkl"), "wb") as f:
-        pickle.dump(prop, f)
+    write_synthetic_coco_dataset(
+        data_dir, n_images, n_props, rng, image_hw=(375, 500),
+        write_jpegs=True,
+    )
 
 
 def run_e2e(cfg, trainer, variables, args):

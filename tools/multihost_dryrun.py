@@ -215,42 +215,16 @@ EVAL_N_PROPS = 16
 
 def _write_eval_dataset(data_dir):
     """Synthetic COCO-json dataset (+2 gt boxes/image) shared by the
-    launcher and every worker; images come from a seeded loader, not disk."""
-    import pickle
-
+    launcher and every worker (same writer as bench_eval's e2e mode);
+    images come from a seeded loader, not disk."""
     import numpy as np
 
-    from cim_tpu.data.synthetic import masks_to_7x7, synthetic_masks
-    from cim_tpu.evaluation import rle as rle_util
+    from cim_tpu.data.synthetic import write_synthetic_coco_dataset
 
-    rng = np.random.RandomState(SEED)
-    images, annotations, aid = [], [], 1
-    prop = {"indexes": [], "boxes": [], "masks": [], "scores": []}
-    for i in range(EVAL_N_IMAGES):
-        h, w = 64, 96
-        images.append({"id": i + 1, "width": w, "height": h,
-                       "file_name": f"{i}.jpg"})
-        masks, boxes = synthetic_masks(rng, EVAL_N_PROPS, h, w)
-        prop["indexes"].append(i + 1)
-        prop["boxes"].append(boxes)
-        prop["masks"].append(masks_to_7x7(masks, boxes).astype(np.float32))
-        prop["scores"].append(rng.rand(EVAL_N_PROPS).astype(np.float32))
-        for j in range(2):
-            b = boxes[j]
-            annotations.append({
-                "id": aid, "image_id": i + 1, "category_id": (j % 3) + 1,
-                "bbox": [float(b[0]), float(b[1]),
-                         float(b[2] - b[0] + 1), float(b[3] - b[1] + 1)],
-                "segmentation": rle_util.encode(masks[j].astype(np.uint8)),
-                "area": float(masks[j].sum()), "iscrowd": 0,
-            })
-            aid += 1
-    with open(os.path.join(data_dir, "ann.json"), "w") as f:
-        json.dump({"images": images, "annotations": annotations,
-                   "categories": [{"id": c + 1, "name": f"c{c}"}
-                                  for c in range(20)]}, f)
-    with open(os.path.join(data_dir, "props.pkl"), "wb") as f:
-        pickle.dump(prop, f)
+    write_synthetic_coco_dataset(
+        data_dir, EVAL_N_IMAGES, EVAL_N_PROPS, np.random.RandomState(SEED),
+        image_hw=(64, 96), write_jpegs=False,
+    )
 
 
 def _eval_image_loader(entry):

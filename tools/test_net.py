@@ -145,7 +145,9 @@ def main():
         trainer.state = state
         trainer.stats = stats  # only read into `variables` below; the
         # compiled *train* step is not reused here
-        logger.info("Loaded checkpoint at step %d", int(state.step) - 1)
+        # state.step IS the completed-step count == the snapshot label
+        # (checkpoint.py load_ckpt restores exactly `step`)
+        logger.info("Loaded checkpoint at step %d", int(state.step))
     elif args.load_detectron:
         import jax.numpy as jnp
 
