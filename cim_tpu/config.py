@@ -243,6 +243,11 @@ def get_default_cfg() -> AttrDict:
     # 2048-proposal bucket)
     # (1 = sequential reference-style loop)
     c.TPU.EVAL_BATCH = 8
+    # experimental: dynamic w8a8 (int8) for the MaskFuse conv + fc1 at
+    # EVAL time (v5e int8 MXU = 2x bf16; the eval path is FLOP-bound at
+    # the kernel roofline). No calibration/checkpoint conversion needed;
+    # deviation bounds pinned in tests/test_int8_eval.py. Default off.
+    c.TPU.EVAL_INT8 = False
     # fused TTA: ship the ORIGINAL image once and derive all TTA passes
     # on-device in one compiled program (engine.test._fused_forward)
     c.TPU.FUSED_TTA = True

@@ -49,6 +49,13 @@ class Evaluator:
 
         enable_persistent_cache()
         self.cfg = cfg
+        if bool(getattr(cfg.TPU, "EVAL_INT8", False)):
+            # rebuild the module with the dynamic-int8 head (same param
+            # tree — the caller's variables apply unchanged); eval-only
+            # because round() has zero gradient (ops/quant.py)
+            from cim_tpu.models.builder import build_model
+
+            model = build_model(cfg, eval_int8=True)
         self.model = model
         # device-resident variables passed as a jit ARGUMENT: closing over
         # the param tree embeds ~1GB of literal weights into the MLIR and

@@ -59,6 +59,7 @@ class CIMModel(nn.Module):
     remat_box_head: bool = True
     use_pallas_roi_align: bool = False
     compute_dtype: Any = jnp.float32
+    int8_eval: bool = False  # dynamic w8a8 head matmuls (eval-only)
 
     def setup(self):
         try:
@@ -90,6 +91,7 @@ class CIMModel(nn.Module):
             max_adaptive_grid=self.max_adaptive_grid,
             use_pallas=self.use_pallas_roi_align,
             dtype=self.compute_dtype,
+            int8_eval=self.int8_eval,
             name="box_head",
         )
         self.cls_iou = ClsIouHead(
@@ -127,9 +129,15 @@ class CIMModel(nn.Module):
         }
 
 
-def build_model(cfg) -> CIMModel:
-    """Construct a CIMModel from a cim_tpu.config AttrDict."""
+def build_model(cfg, eval_int8: bool = False) -> CIMModel:
+    """Construct a CIMModel from a cim_tpu.config AttrDict.
+
+    eval_int8 must stay False for training (jnp.round's zero gradient
+    would silently freeze the head); engine.test.Evaluator rebuilds the
+    module with eval_int8=cfg.TPU.EVAL_INT8 — same param tree, so the
+    trainer's variables apply unchanged."""
     return CIMModel(
+        int8_eval=eval_int8,
         conv_body=cfg.MODEL.CONV_BODY,
         num_classes=cfg.MODEL.NUM_CLASSES,
         refine_times=cfg.REFINE_TIMES,

@@ -35,19 +35,72 @@ def torch_kaiming_uniform(fan_in: int):
     return init
 
 
+class _Int8Dense(nn.Module):
+    """Param-compatible stand-in for nn.Dense computing via the dynamic
+    int8 matmul (ops.quant). Same param names/shapes/inits, so the same
+    checkpoint serves both paths. Eval-only (round() has zero grad)."""
+
+    features: int
+    kernel_init: Any
+    bias_init: Any
+    out_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from cim_tpu.ops.quant import int8_dense
+
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = int8_dense(x, kernel, bias)
+        return y.astype(self.out_dtype) if self.out_dtype is not None else y
+
+
+class _Int8Conv(nn.Module):
+    """Param-compatible stand-in for nn.Conv (NHWC, HWIO) via the dynamic
+    int8 convolution (ops.quant). Eval-only."""
+
+    features: int
+    kernel_size: Any
+    padding: int
+    kernel_init: Any
+    bias_init: Any
+    out_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from cim_tpu.ops.quant import int8_conv_nhwc
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = int8_conv_nhwc(x, kernel, bias, padding=self.padding)
+        return y.astype(self.out_dtype) if self.out_dtype is not None else y
+
+
 class TorchLinear(nn.Module):
     """nn.Dense with pytorch default init (weight and bias U(-1/√fan_in, ·)).
 
     ``dtype``: computation dtype (params stay float32; bfloat16 compute puts
-    the matmul on the MXU at full rate)."""
+    the matmul on the MXU at full rate). ``int8``: dynamic w8a8 matmul
+    (eval-only, cfg.TPU.EVAL_INT8) — identical param tree."""
 
     features: int
     dtype: Any = None
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         init = torch_kaiming_uniform(fan_in)
+        if self.int8:
+            return _Int8Dense(
+                self.features, kernel_init=init, bias_init=init,
+                out_dtype=self.dtype, name="dense",
+            )(x)
         return nn.Dense(
             self.features, kernel_init=init, bias_init=init, dtype=self.dtype,
             name="dense",
@@ -64,11 +117,19 @@ class TorchConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = None
+    int8: bool = False  # dynamic w8a8 conv (eval-only, cfg.TPU.EVAL_INT8)
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1] * self.kernel_size[0] * self.kernel_size[1]
         init = torch_kaiming_uniform(fan_in)
+        if self.int8:
+            assert self.strides == (1, 1) and self.dilation == 1 and self.use_bias
+            return _Int8Conv(
+                self.features, self.kernel_size, padding=self.padding,
+                kernel_init=init, bias_init=init, out_dtype=self.dtype,
+                name="conv",
+            )(x)
         pad = ((self.padding, self.padding), (self.padding, self.padding))
         return nn.Conv(
             self.features,

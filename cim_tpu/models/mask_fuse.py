@@ -34,6 +34,9 @@ class MaskFuse(nn.Module):
     max_adaptive_grid: int = 2
     use_pallas: bool = False  # Pallas separable-matmul kernel (TPU)
     dtype: Any = None
+    # dynamic w8a8 for the conv + fc1 (the head's dominant FLOPs; v5e int8
+    # MXU = 2x bf16). Eval-only — round() kills gradients (ops/quant.py)
+    int8_eval: bool = False
 
     dim_out: int = 4096
 
@@ -85,11 +88,13 @@ class MaskFuse(nn.Module):
         masks = jnp.asarray(masks, box_x.dtype)[..., None]  # (N, 7, 7, 1)
         mask_x = box_x * masks
         x = jnp.concatenate([box_x, mask_x], axis=-1)  # (N, 7, 7, 2C)
-        x = TorchConv(self.dim_in, (3, 3), padding=1, dtype=self.dtype, name="mask_branch")(x)
+        x = TorchConv(self.dim_in, (3, 3), padding=1, dtype=self.dtype,
+                      int8=self.int8_eval, name="mask_branch")(x)
         x = nn.relu(x)
         # match the torch NCHW flatten order (C, H, W) for weight-porting
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        x = nn.relu(TorchLinear(self.hidden_dim, dtype=self.dtype, name="seg_fc1")(x))
+        x = nn.relu(TorchLinear(self.hidden_dim, dtype=self.dtype,
+                                int8=self.int8_eval, name="seg_fc1")(x))
         x = nn.relu(TorchLinear(self.hidden_dim, dtype=self.dtype, name="seg_fc2")(x))
         x = x.astype(jnp.float32)
         return x

@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--eval_batch", type=int, default=4)
     ap.add_argument("--modes", default="seq,batched")
     ap.add_argument("--cfg", default=None, help="config yaml override")
+    ap.add_argument("--int8", action="store_true",
+                    help="TPU.EVAL_INT8: dynamic w8a8 MaskFuse conv+fc1")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +136,8 @@ def main():
     cfg.TPU.DATA_PARALLEL = 1
     cfg.TPU.PALLAS_ROI_ALIGN = jax.default_backend() not in ("cpu",)
     cfg.TPU.REMAT_BOX_HEAD = False
+    if args.int8:
+        cfg.TPU.EVAL_INT8 = True
 
     rng = np.random.RandomState(0)
     sample = make_microbatch(rng, image_hw=(128, 128), n_props=64, n_valid=64)
