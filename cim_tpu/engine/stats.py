@@ -96,8 +96,9 @@ class TrainingStats:
         if "total_loss" in metrics:
             self.smoothed_total.add_value(metrics["total_loss"])
 
-    def log_iter_stats(self, cur_iter: int, lr: float, max_iter: int | None = None):
-        if (cur_iter % self.disp_interval) != 0:
+    def log_iter_stats(self, cur_iter: int, lr: float, max_iter: int | None = None,
+                       force: bool = False):
+        if not force and (cur_iter % self.disp_interval) != 0:
             return None
         stats = {
             "iter": int(cur_iter),

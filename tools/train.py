@@ -259,6 +259,7 @@ def main():
 
     step = int(trainer.state.step)
     profiling = False
+    pending = None  # (step_idx, device metrics) — one-deep pipeline
     try:
         logger.info("Training starts!")
         while step < cfg.SOLVER.MAX_ITER:
@@ -275,16 +276,37 @@ def main():
                 logger.info("profiler trace written to %s", args.profile_dir)
             batch = next(loader_iter)
             training_stats.iter_tic()
-            metrics = trainer.step(batch, jax.random.PRNGKey(args.seed + step))
-            metrics = {k: float(v) for k, v in metrics.items()}
-            training_stats.iter_toc()
-            training_stats.update_iter_stats(metrics)
-            training_stats.log_iter_stats(
-                step, metrics["lr"], cfg.SOLVER.MAX_ITER
+            metrics_dev = trainer.step(
+                batch, jax.random.PRNGKey(args.seed + step)
             )
-            step = int(trainer.state.step)
+            step += 1  # mirrors the on-device state.step increment
+            # one-deep software pipeline: fetch the PREVIOUS step's
+            # metrics after dispatching this one, so the next loop
+            # iteration's host work (loader decode/pad, ~67 ms/image)
+            # overlaps device compute instead of serializing with it
+            # (jax dispatch is async; the former per-step float() fetch
+            # was a full sync). iter time = per-loop wall time =
+            # max(loader, device) in steady state.
+            if pending is not None:
+                p_step, p_dev = pending
+                p_metrics = {k: float(v) for k, v in p_dev.items()}
+                training_stats.update_iter_stats(p_metrics)
+                training_stats.log_iter_stats(
+                    p_step, p_metrics["lr"], cfg.SOLVER.MAX_ITER
+                )
+            training_stats.iter_toc()
+            pending = (step - 1, metrics_dev)
             if do_save and step % checkpoint_period == 0:
                 save_ckpt(ckpt_dir, trainer.state, trainer.stats)
+        if pending is not None:  # flush the last step's stats
+            p_step, p_dev = pending
+            p_metrics = {k: float(v) for k, v in p_dev.items()}
+            training_stats.update_iter_stats(p_metrics)
+            training_stats.log_iter_stats(
+                p_step, p_metrics["lr"], cfg.SOLVER.MAX_ITER, force=True
+            )
+            pending = None
+        assert step == int(trainer.state.step), "host/device step drift"
         if do_save:
             save_ckpt(ckpt_dir, trainer.state, trainer.stats)
         logger.info("Training done at step %d", step)
