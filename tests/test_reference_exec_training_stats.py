@@ -99,6 +99,8 @@ def _run_reference(ts_mod, cfg_mod, schedule, iter_size, num_gpus, max_iter):
     (per-step stats dicts from GetStats, list of iters where LogIterStats
     actually fired)."""
     cfg_mod.cfg.immutable(False)
+    old_num_gpus = cfg_mod.cfg.NUM_GPUS
+    old_max_iter = cfg_mod.cfg.SOLVER.MAX_ITER
     cfg_mod.cfg.NUM_GPUS = num_gpus
     cfg_mod.cfg.SOLVER.MAX_ITER = max_iter
 
@@ -123,6 +125,8 @@ def _run_reference(ts_mod, cfg_mod, schedule, iter_size, num_gpus, max_iter):
             stats_per_step.append(ts.GetStats(step, lr=1e-3))
     finally:
         ts_mod.log_stats = orig_log_stats
+        cfg_mod.cfg.NUM_GPUS = old_num_gpus
+        cfg_mod.cfg.SOLVER.MAX_ITER = old_max_iter
     return stats_per_step, logged_iters
 
 
