@@ -50,12 +50,12 @@ class Evaluator:
         enable_persistent_cache()
         self.cfg = cfg
         if bool(getattr(cfg.TPU, "EVAL_INT8", False)):
-            # rebuild the module with the dynamic-int8 head (same param
-            # tree — the caller's variables apply unchanged); eval-only
-            # because round() has zero gradient (ops/quant.py)
-            from cim_tpu.models.builder import build_model
-
-            model = build_model(cfg, eval_int8=True)
+            # clone the caller's module with the dynamic-int8 head (same
+            # param tree — the caller's variables apply unchanged, and
+            # every other caller-chosen attribute — dtype, remat, Pallas
+            # flags — is preserved); eval-only because round() has zero
+            # gradient (ops/quant.py)
+            model = model.clone(int8_eval=True)
         self.model = model
         # device-resident variables passed as a jit ARGUMENT: closing over
         # the param tree embeds ~1GB of literal weights into the MLIR and

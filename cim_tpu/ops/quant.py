@@ -58,13 +58,20 @@ def int8_dense(x, kernel, bias=None):
 def int8_conv_nhwc(x, kernel, bias=None, padding=1):
     """NHWC conv with int8 operands: x (N, H, W, Cin), kernel HWIO.
 
-    Per-tensor activation scale (the conv's receptive fields overlap, so
-    per-pixel scales can't ride a plain convolution), per-output-channel
-    weight scales, int32 accumulation via
+    Per-SAMPLE activation scales (reduce over H, W, Cin -> (N, 1, 1, 1)):
+    the conv never mixes the N axis, so per-sample scales ride it validly
+    — per-pixel scales could not (receptive fields overlap). Per-sample
+    (not per-tensor) matters for correctness of the padded-proposal
+    contract: each ROI row's quantization is independent of every other
+    row, so pad rows and the proposal bucket size cannot perturb valid
+    rows' scores (engine/test.py's padded==unpadded invariant). Weights
+    get per-output-channel scales; int32 accumulation via
     lax.conv_general_dilated(preferred_element_type=int32)."""
     xf = x.astype(jnp.float32)
     wf = kernel.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12
+    )
     sw = _weight_scales(wf, reduce_axes=(0, 1, 2))  # (1, 1, 1, Cout)
     xq = _quant(xf, sx)
     wq = _quant(wf, sw)

@@ -132,3 +132,82 @@ def test_round_gradient_is_zero_documented(check):
     """The reason int8 is eval-only: d round(x)/dx == 0 everywhere."""
     g = jax.grad(lambda x: jnp.sum(jnp.round(x)))(jnp.ones(4))
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_int8_conv_padding_invariance():
+    """Per-SAMPLE activation scales (ops/quant.py): a valid ROI row's
+    output must be bitwise independent of whatever rides in the pad rows
+    — the padded==unpadded contract the engine relies on (an earlier
+    per-tensor scale violated this: the bucket size changed valid rows'
+    quantization)."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(4, 7, 7, 16).astype(np.float32)
+    w = (rng.randn(3, 3, 16, 8) * 0.1).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    out_small = np.asarray(int8_conv_nhwc(jnp.asarray(x), jnp.asarray(w),
+                                          jnp.asarray(b), padding=1))
+    pad = np.concatenate(
+        [x, rng.randn(12, 7, 7, 16).astype(np.float32) * 1e3], axis=0
+    )
+    out_padded = np.asarray(int8_conv_nhwc(jnp.asarray(pad), jnp.asarray(w),
+                                           jnp.asarray(b), padding=1))
+    np.testing.assert_array_equal(out_small, out_padded[:4])
+
+
+def test_int8_dense_padding_invariance():
+    """Per-row activation scales: same contract for the matmul."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(4, 64).astype(np.float32)
+    w = (rng.randn(64, 8) * 0.1).astype(np.float32)
+    out_small = np.asarray(int8_dense(jnp.asarray(x), jnp.asarray(w)))
+    pad = np.concatenate([x, rng.randn(12, 64).astype(np.float32) * 1e3], 0)
+    out_padded = np.asarray(int8_dense(jnp.asarray(pad), jnp.asarray(w)))
+    np.testing.assert_array_equal(out_small, out_padded[:4])
+
+
+def test_evaluator_wires_int8_clone():
+    """cfg.TPU.EVAL_INT8 takes effect exactly at the Evaluator: the
+    module is cloned with int8_eval=True (preserving every caller
+    attribute), the caller's f32 variables apply unchanged, and the
+    scored output stays close to the f32 evaluator's."""
+    import os
+
+    from cim_tpu.config import clone_cfg, load_cfg
+    from cim_tpu.engine.test import Evaluator
+    from cim_tpu.models.builder import build_model
+    import cim_tpu.models.tiny  # noqa: F401
+
+    cfg = clone_cfg(load_cfg(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "resnet50_voc.yaml")))
+    cfg.MODEL.CONV_BODY = "tiny.conv_body"
+    cfg.TPU.PRECISION = "f32"
+    cfg.TEST.SCALE = 64
+    cfg.TEST.BBOX_AUG.ENABLED = False
+
+    rng = np.random.RandomState(6)
+    im = (rng.rand(64, 80, 3) * 255).astype(np.uint8)
+    n = 12
+    x1 = rng.uniform(0, 30, n)
+    y1 = rng.uniform(0, 25, n)
+    boxes = np.stack([x1, y1, x1 + 20, y1 + 16], -1).astype(np.float32)
+    masks = (rng.rand(n, 7, 7) > 0.5).astype(np.float32)
+
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((64, 80, 3), np.float32),
+        boxes, masks, np.ones(n, bool),
+    )
+    ev_f32 = Evaluator(cfg, model, variables)
+    assert ev_f32.model.int8_eval is False
+
+    cfg8 = clone_cfg(cfg)
+    cfg8.TPU.EVAL_INT8 = True
+    ev_int8 = Evaluator(cfg8, model, variables)
+    assert ev_int8.model.int8_eval is True
+    # caller attributes survive the clone
+    assert ev_int8.model.conv_body == model.conv_body
+    assert ev_int8.model.compute_dtype == model.compute_dtype
+
+    s_f32, _ = ev_f32.im_detect_bbox(im, boxes, masks, 64, cfg.TEST.MAX_SIZE)
+    s_int8, _ = ev_int8.im_detect_bbox(im, boxes, masks, 64, cfg.TEST.MAX_SIZE)
+    assert np.abs(np.asarray(s_f32) - np.asarray(s_int8)).max() < 0.05

@@ -260,6 +260,24 @@ def main():
     step = int(trainer.state.step)
     profiling = False
     pending = None  # (step_idx, device metrics) — one-deep pipeline
+
+    def flush_pending(force=False):
+        """Fetch + log the pipelined previous step's metrics (a device
+        sync). Shared by the loop, the post-loop flush, the profiler
+        stop (which must not truncate in-flight device work) and the
+        crash path (so the last completed step still reaches the logs)."""
+        nonlocal pending
+        if pending is None:
+            return False
+        p_step, p_dev = pending
+        pending = None
+        p_metrics = {k: float(v) for k, v in p_dev.items()}
+        training_stats.update_iter_stats(p_metrics)
+        training_stats.log_iter_stats(
+            p_step, p_metrics["lr"], cfg.SOLVER.MAX_ITER, force=force
+        )
+        return True
+
     try:
         logger.info("Training starts!")
         while step < cfg.SOLVER.MAX_ITER:
@@ -271,6 +289,7 @@ def main():
             if profiling and step >= 10:
                 import jax.profiler
 
+                flush_pending()  # sync: keep the last step in the trace
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("profiler trace written to %s", args.profile_dir)
@@ -286,32 +305,27 @@ def main():
             # overlaps device compute instead of serializing with it
             # (jax dispatch is async; the former per-step float() fetch
             # was a full sync). iter time = per-loop wall time =
-            # max(loader, device) in steady state.
-            if pending is not None:
-                p_step, p_dev = pending
-                p_metrics = {k: float(v) for k, v in p_dev.items()}
-                training_stats.update_iter_stats(p_metrics)
-                training_stats.log_iter_stats(
-                    p_step, p_metrics["lr"], cfg.SOLVER.MAX_ITER
-                )
-            training_stats.iter_toc()
+            # max(loader, device) in steady state; the first loop has no
+            # pending fetch, so its dispatch-only wall time is NOT
+            # recorded (it would skew time/eta toward zero).
+            if flush_pending():
+                training_stats.iter_toc()
             pending = (step - 1, metrics_dev)
             if do_save and step % checkpoint_period == 0:
                 save_ckpt(ckpt_dir, trainer.state, trainer.stats)
-        if pending is not None:  # flush the last step's stats
-            p_step, p_dev = pending
-            p_metrics = {k: float(v) for k, v in p_dev.items()}
-            training_stats.update_iter_stats(p_metrics)
-            training_stats.log_iter_stats(
-                p_step, p_metrics["lr"], cfg.SOLVER.MAX_ITER, force=True
-            )
-            pending = None
+        flush_pending(force=True)  # the last step's stats
         assert step == int(trainer.state.step), "host/device step drift"
         if do_save:
             save_ckpt(ckpt_dir, trainer.state, trainer.stats)
         logger.info("Training done at step %d", step)
     except (RuntimeError, KeyboardInterrupt):
-        # crash-save (reference tools/train.py:450-456)
+        # crash-save (reference tools/train.py:450-456); flush the
+        # pipelined metrics first so the last COMPLETED step reaches the
+        # logs/tensorboard (its state is in the crash checkpoint)
+        try:
+            flush_pending(force=True)
+        except Exception:  # the fetch itself may be what's broken
+            logger.warning("pending metrics unrecoverable on crash")
         logger.info("Save ckpt on exception ...")
         if do_save:
             save_ckpt(ckpt_dir, trainer.state, trainer.stats)
