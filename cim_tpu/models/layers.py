@@ -185,16 +185,24 @@ class AffineChannel2d(nn.Module):
 
 
 class BilinearInterpolation2d(nn.Module):
-    """Fixed (non-trainable) bilinear 2x-style upsampling implemented as
-    a transposed conv with frozen bilinear weights (reference
-    lib/nn/modules/upsample.py BilinearInterpolation2d)."""
+    """Fixed (non-trainable) bilinear upsampling: N,H,W,C -> N,sH,sW,C.
+
+    Reproduces the reference's ConvTranspose2d(kernel=2s, stride=s,
+    padding=s//2) with frozen FCN bilinear weights
+    (lib/nn/modules/upsample.py, which asserts even up_scale). torch's
+    ConvTranspose2d(stride s, padding p) == a forward conv over the
+    s-dilated input with (k-1-p) edge padding and the spatially-flipped,
+    IO-swapped kernel — jax.lax.conv_transpose's explicit padding means
+    something different, so the dilated forward conv is spelled out
+    (exact parity: tests/test_reference_exec_nn.py)."""
 
     features: int
     up_scale: int = 2
 
     @nn.compact
     def __call__(self, x):
-        k = self.up_scale * 2 - self.up_scale % 2
+        assert self.up_scale % 2 == 0, "Scale should be even"
+        k = self.up_scale * 2
         import numpy as np
 
         def bilinear_kernel(key, shape, dtype=jnp.float32):
@@ -210,12 +218,16 @@ class BilinearInterpolation2d(nn.Module):
                 w[:, :, c, c] = filt
             return jnp.asarray(w, dtype)
 
+        # param layout: HWIO of the *transposed* conv (torch (I,O,kh,kw)
+        # -> (kh,kw,I,O)), so torch weight loaders map 1:1
         w = self.param("kernel", bilinear_kernel, (k, k, self.features, self.features))
-        pad = int(jnp.ceil((k - self.up_scale) / 2.0))
-        return jax.lax.conv_transpose(
-            x, jax.lax.stop_gradient(w),
-            strides=(self.up_scale, self.up_scale),
+        w = jnp.flip(jax.lax.stop_gradient(w), (0, 1)).swapaxes(2, 3)
+        s, pad = self.up_scale, k - 1 - self.up_scale // 2
+        return jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
@@ -226,14 +238,50 @@ def xavier_fill_init():
 
 
 def msra_fill_init():
-    """Caffe2 MSRAFill == fan-out normal He init (reference lib/nn/init.py:19-24)."""
-    return nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+    """Caffe2 MSRAFill == fan-out normal He init (reference lib/nn/init.py:19-24).
+
+    The reference draws from a FULL normal N(0, 2/fan_out); flax's
+    "truncated_normal" mode clips at 2 sigma (different tails), so use the
+    untruncated "normal" mode for distributional parity
+    (tests/test_reference_exec_nn.py)."""
+    return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm matching the reference's own functional (NHWC).
+
+    The reference (lib/nn/functional.py:4-19, used by
+    lib/nn/modules/normalization.py GroupNorm) normalizes with torch's
+    default UNBIASED variance (``x.var(-1)``, ddof=1) — unlike standard
+    GN / flax nn.GroupNorm (biased). The difference is ~1/m relative
+    (m = C/G*H*W elements per group) but visible at small spatial sizes;
+    tests/test_reference_exec_nn.py pins exact parity against the
+    executed reference module."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        assert c % self.num_groups == 0
+        w = self.param("scale", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        xt = jnp.moveaxis(x, -1, 1)  # (N, C, *spatial), reference layout
+        shape = xt.shape
+        xg = xt.reshape(shape[0], self.num_groups, -1)
+        mean = xg.mean(-1, keepdims=True)
+        var = xg.var(-1, ddof=1, keepdims=True)
+        xg = (xg - mean) / jnp.sqrt(var + self.epsilon)
+        vs = (1, c) + (1,) * (len(shape) - 2)
+        xt = xg.reshape(shape) * w.reshape(vs) + b.reshape(vs)
+        return jnp.moveaxis(xt, 1, -1)
 
 
 def group_norm(num_groups: int = 32, epsilon: float = 1e-5):
     """GroupNorm (reference lib/nn/modules/normalization.py via
-    cfg.GROUP_NORM; flax-native)."""
-    return nn.GroupNorm(num_groups=num_groups, epsilon=epsilon)
+    cfg.GROUP_NORM; reference-variance semantics, see GroupNorm)."""
+    return GroupNorm(num_groups=num_groups, epsilon=epsilon)
 
 
 def mask_valid_hw(x, valid_hw):
