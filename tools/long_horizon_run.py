@@ -139,7 +139,22 @@ def main():
         seg_summaries.append({"segment": seg, "max_iter": max_iter,
                               "wall_s": round(dt, 1), "stats_lines": len(fresh)})
         print(json.dumps(seg_summaries[-1]), flush=True)
+        # partial artifact after every segment: a wall-clock-bounded run
+        # still leaves the trajectory captured so far
+        _write(args.out, _summarize(args, n_segments, trajectory,
+                                    boundary_losses, seg_summaries,
+                                    partial=seg + 1 < n_segments))
 
+    result = _summarize(args, n_segments, trajectory, boundary_losses,
+                        seg_summaries, partial=False)
+    _write(args.out, result)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "trajectory_every_disp"}), flush=True)
+    sys.exit(0 if result["ok"] else 1)
+
+
+def _summarize(args, n_segments, trajectory, boundary_losses, seg_summaries,
+               partial):
     losses = [s["loss"] for s in trajectory]
     lrs = {s["iter"]: s["lr"] for s in trajectory}
     pre = [lr for it, lr in lrs.items() if args.warmup <= it < args.decay_at]
@@ -152,8 +167,10 @@ def main():
         return round(float(np.median(vals)), 4) if vals else None
 
     head, tail = trajectory[:5], trajectory[-5:]
-    result = {
+    return {
         "ok": bool(losses) and all(np.isfinite(losses)),
+        "partial": partial,
+        "steps_completed": trajectory[-1]["iter"] + 1 if trajectory else 0,
         "total_steps": args.total_steps,
         "segments": n_segments,
         "segment_steps": args.segment_steps,
@@ -176,10 +193,6 @@ def main():
         "segments_wall": seg_summaries,
         "trajectory_every_disp": trajectory,
     }
-    _write(args.out, result)
-    print(json.dumps({k: v for k, v in result.items()
-                      if k != "trajectory_every_disp"}), flush=True)
-    sys.exit(0 if result["ok"] else 1)
 
 
 def _write(path, obj):
