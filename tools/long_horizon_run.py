@@ -123,8 +123,13 @@ def main():
         max_iter = min((seg + 1) * args.segment_steps, args.total_steps)
         rc, stats, dt, log = run_segment(args, seg, workdir, max_iter)
         if rc != 0:
-            _write(args.out, {"ok": False, "segment": seg, "rc": rc,
-                              "error_tail": log[-1500:]})
+            # keep the trajectory captured so far; merge the error fields
+            # into the summary instead of discarding the partial artifact
+            failed = _summarize(args, n_segments, trajectory, boundary_losses,
+                                seg_summaries, partial=True)
+            failed.update({"ok": False, "failed_segment": seg, "rc": rc,
+                           "error_tail": log[-1500:]})
+            _write(args.out, failed)
             sys.exit(1)
         # stats lines from THIS segment only (iter > previous max)
         prev_max = trajectory[-1]["iter"] if trajectory else -1
@@ -140,10 +145,12 @@ def main():
                               "wall_s": round(dt, 1), "stats_lines": len(fresh)})
         print(json.dumps(seg_summaries[-1]), flush=True)
         # partial artifact after every segment: a wall-clock-bounded run
-        # still leaves the trajectory captured so far
-        _write(args.out, _summarize(args, n_segments, trajectory,
-                                    boundary_losses, seg_summaries,
-                                    partial=seg + 1 < n_segments))
+        # still leaves the trajectory captured so far (the final segment's
+        # full artifact is written once, after the loop)
+        if seg + 1 < n_segments:
+            _write(args.out, _summarize(args, n_segments, trajectory,
+                                        boundary_losses, seg_summaries,
+                                        partial=True))
 
     result = _summarize(args, n_segments, trajectory, boundary_losses,
                         seg_summaries, partial=False)
@@ -196,8 +203,17 @@ def _summarize(args, n_segments, trajectory, boundary_losses, seg_summaries,
 
 
 def _write(path, obj):
-    with open(path, "w") as f:
-        json.dump(obj, f, indent=1)
+    # atomic replace: a kill mid-write must leave the previous good partial
+    d = os.path.dirname(os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 if __name__ == "__main__":
