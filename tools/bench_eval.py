@@ -72,6 +72,7 @@ def run_e2e(cfg, trainer, variables, args):
         "score_thresh": cfg.TEST.SCORE_THRESH,
         "nms": cfg.TEST.NMS,
         "proposal_filter": True,
+        "detections_per_im": cfg.TEST.DETECTIONS_PER_IM,
         "coco_scheme": False,
     }
     cat_ids = sorted(dataset.COCO.getCatIds())

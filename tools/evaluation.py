@@ -88,6 +88,10 @@ def eval_shard(args_tuple):
     cfg.TEST.SCORE_THRESH = opts["score_thresh"]
     cfg.TEST.NMS = opts["nms"]
     cfg.TEST.PROPOSAL_FILTER = opts["proposal_filter"]
+    # thread the configured per-image cap into the shard (the reference
+    # workers inherit the merged global cfg via fork; rebuilding a default
+    # cfg here silently dropped a user's TEST.DETECTIONS_PER_IM override)
+    cfg.TEST.DETECTIONS_PER_IM = opts.get("detections_per_im", 100)
 
     results = []
     for entry in entries:
@@ -114,7 +118,7 @@ def eval_shard(args_tuple):
             scores[bad] = 0.0
 
         s, b, cls_boxes, cls_inds = mask_results_with_nms_and_limit_get_index(
-            cfg, scores, boxes
+            cfg, scores, boxes, cfg.TEST.DETECTIONS_PER_IM
         )
         for j in range(1, cfg.MODEL.NUM_CLASSES + 1):
             dets = cls_boxes[j]
@@ -224,6 +228,7 @@ def main():
         "score_thresh": cfg.TEST.SCORE_THRESH,
         "nms": cfg.TEST.NMS,
         "proposal_filter": cfg.TEST.PROPOSAL_FILTER,
+        "detections_per_im": cfg.TEST.DETECTIONS_PER_IM,
         "coco_scheme": "coco" in cfg.TEST.DATASETS[0],
     }
     work = [
