@@ -244,6 +244,32 @@ def measure_bucket(trainer, cfg, scale, n_valid, n_pad, accum, rng,
     return rec
 
 
+def _baseline_basis():
+    """Label the vs_baseline denominator: always the documented
+    FLOP-derived estimate (the reference needs CUDA, so its TPU-silicon
+    throughput cannot be measured here), cross-checked — when the
+    committed artifact exists — by the same-silicon MEASURED full-step
+    CPU ratio from tools/bench_train_cpu.py (executed reference
+    Generalized_RCNN + its inner loop vs Trainer.step on one CPU)."""
+    basis = {
+        "anchor": "flop_estimate",
+        "reference_imgs_per_sec_per_device": REFERENCE_IMGS_PER_SEC_PER_DEVICE,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_CPU_ANCHOR.json")
+    try:
+        with open(path) as f:
+            a = json.load(f)
+        basis["measured_same_cpu_step_ratio"] = a["measured_cpu_ratio"]
+        basis["measured_same_cpu_shape"] = (
+            f"{a['n_valid']}x{a['image_hw'][0]}x{a['image_hw'][1]}"
+        )
+        basis["measured_note"] = "tools/bench_train_cpu.py (BENCH_CPU_ANCHOR.json)"
+    except (OSError, KeyError, ValueError):
+        pass
+    return basis
+
+
 def run_bench():
     import jax
 
@@ -269,6 +295,8 @@ def run_bench():
     n_valid = int(os.environ.get("BENCH_NVALID", "2000"))  # typical COB count
     n_pad = proposal_bucket(cfg, n_valid)
     scales = list(cfg.TRAIN.SCALES)  # (480, 576, 688, 864, 1200)
+    if os.environ.get("BENCH_SCALES"):  # targeted A/B (e.g. "1200")
+        scales = [int(s) for s in os.environ["BENCH_SCALES"].split(",")]
 
     pad_multiple = int(os.environ.get("BENCH_PAD_MULTIPLE", "0")) or int(
         cfg.TPU.PAD_MULTIPLE
@@ -326,6 +354,7 @@ def run_bench():
         "vs_baseline": round(
             protocol_ips / REFERENCE_IMGS_PER_SEC_PER_DEVICE, 3
         ),
+        "vs_baseline_basis": _baseline_basis(),
         "ok": True,
         "proposal_pad": n_pad,
         "ms_per_image": round(1000.0 / protocol_ips, 1),

@@ -58,3 +58,29 @@ def test_failure_line_keeps_metric_schema(bench, monkeypatch, capsys):
     assert out["metric"] == "train_images_per_sec_per_chip_protocol"
     assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
     assert out["retryable"] is False
+
+
+def test_baseline_basis_without_artifact(bench, monkeypatch, tmp_path):
+    # no committed anchor artifact -> flop-estimate basis only
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    basis = bench._baseline_basis()
+    assert basis["anchor"] == "flop_estimate"
+    assert basis["reference_imgs_per_sec_per_device"] == 0.5
+    assert "measured_same_cpu_step_ratio" not in basis
+
+
+def test_baseline_basis_with_artifact(bench, tmp_path, monkeypatch):
+    art = {
+        "measured_cpu_ratio": 3.5,
+        "n_valid": 48,
+        "image_hw": [96, 128],
+    }
+    (tmp_path / "BENCH_CPU_ANCHOR.json").write_text(json.dumps(art))
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    basis = bench._baseline_basis()
+    assert basis["measured_same_cpu_step_ratio"] == 3.5
+    assert basis["measured_same_cpu_shape"] == "48x96x128"
