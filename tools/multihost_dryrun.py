@@ -63,6 +63,11 @@ def parse_args():
                    help="internal: step-index offset for rng derivation")
     p.add_argument("--data_dir", default=None,
                    help="internal (eval mode): synthetic dataset dir")
+    p.add_argument("--body", choices=["tiny", "resnet"], default="tiny",
+                   help="conv body: tiny (fast CI default) or resnet — the "
+                   "PRODUCTION resnet50.torch_resnet50 backbone under "
+                   "shard_map across processes (slow CPU compile; use "
+                   "--num_processes 2 --local_devices 1 --steps 1)")
     return p.parse_args()
 
 
@@ -74,12 +79,15 @@ def _setup_jax(n_local_devices):
     return jax
 
 
-def _make_cfg():
+def _make_cfg(body="tiny"):
     import cim_tpu.models.tiny  # noqa: F401  (registers tiny.conv_body)
     from cim_tpu.config import clone_cfg, get_default_cfg
 
     cfg = clone_cfg(get_default_cfg())
-    cfg.MODEL.CONV_BODY = "tiny.conv_body"
+    if body == "tiny":
+        cfg.MODEL.CONV_BODY = "tiny.conv_body"
+    # body == "resnet": keep the default production pair
+    # (resnet50.torch_resnet50 + resnet50.MaskFuse, configs/resnet50_voc.yaml)
     cfg.TPU.PROPOSAL_PAD = BATCH_KW["n_props"]
     cfg.TPU.MAX_CLUSTERS = 4
     cfg.TPU.GRAD_ACCUM = GRAD_ACCUM
@@ -127,7 +135,7 @@ def run_worker(args):
     from cim_tpu import parallel
     from cim_tpu.engine.train import Trainer
 
-    cfg = _make_cfg()
+    cfg = _make_cfg(args.body)
     cfg.TPU.DATA_PARALLEL = n_total
     mesh = parallel.global_data_parallel_mesh()
     assert parallel.is_multiprocess(mesh)
@@ -194,7 +202,7 @@ def run_single(args):
 
     from cim_tpu.engine.train import Trainer
 
-    cfg = _make_cfg()
+    cfg = _make_cfg(args.body)
     cfg.TPU.DATA_PARALLEL = n_total
     batch, sample = _global_batch_and_sample(n_total)
     trainer = Trainer(cfg, jax.random.PRNGKey(0), sample_batch=sample)
@@ -321,7 +329,7 @@ def _free_port():
     return port
 
 
-def _spawn_and_wait(procs, timeout=1200):
+def _spawn_and_wait(procs, timeout=3600):
     logs, ok = [], True
     for proc in procs:
         log, _ = proc.communicate(timeout=timeout)
@@ -346,7 +354,7 @@ def run_launcher(args):
              "--num_processes", str(args.num_processes),
              "--local_devices", str(args.local_devices),
              "--steps", str(args.steps), "--port", str(port),
-             "--mode", args.mode, "--out", out] + extra,
+             "--mode", args.mode, "--body", args.body, "--out", out] + extra,
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -392,6 +400,7 @@ def run_launcher(args):
 
     print(json.dumps({
         "ok": True,
+        "body": args.body,
         "num_processes": args.num_processes,
         "devices": args.num_processes * args.local_devices,
         "steps": args.steps,
