@@ -19,6 +19,18 @@ def enable_persistent_cache(cache_dir: str | None = None):
         return
     import jax
 
+    # CPU executables are HOST-specific AOT code: entries written by a
+    # previous round's VM (different CPU features) load here with
+    # cpu_aot_loader machine-feature mismatch warnings — a SIGILL risk on
+    # any instruction the current host lacks. TPU entries are
+    # remote-compiled against a fixed target and stay valid, so the
+    # persistent cache is TPU-only.
+    platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+    if "cpu" in str(platforms).lower().split(","):
+        return
+
     cache_dir = cache_dir or os.environ.get(
         "CIM_TPU_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(

@@ -61,6 +61,10 @@ def parse_args():
     p.add_argument("--synth_valid", type=int, default=300)
     p.add_argument("--workdir", default=None)
     p.add_argument("--out", default="RUN_r04.json")
+    p.add_argument("--resume_from", default=None,
+                   help="partial artifact from an interrupted run; continues "
+                        "from the next segment (requires --workdir pointing "
+                        "at the same checkpoint dir)")
     p.add_argument("--set", dest="set_cfgs", nargs="+", default=[])
     return p.parse_args()
 
@@ -119,7 +123,20 @@ def main():
     trajectory = []
     seg_summaries = []
     boundary_losses = []
-    for seg in range(n_segments):
+    start_seg = 0
+    if args.resume_from:
+        with open(args.resume_from) as f:
+            prev = json.load(f)
+        assert prev["segment_steps"] == args.segment_steps, "segment mismatch"
+        assert prev["total_steps"] == args.total_steps, "total mismatch"
+        assert args.workdir, "--resume_from requires --workdir (ckpt dir)"
+        trajectory = prev["trajectory_every_disp"]
+        boundary_losses = prev["segment_boundaries"]
+        seg_summaries = prev["segments_wall"]
+        start_seg = len(seg_summaries)
+        print(json.dumps({"resumed_at_segment": start_seg,
+                          "steps_done": prev["steps_completed"]}), flush=True)
+    for seg in range(start_seg, n_segments):
         max_iter = min((seg + 1) * args.segment_steps, args.total_steps)
         rc, stats, dt, log = run_segment(args, seg, workdir, max_iter)
         if rc != 0:
