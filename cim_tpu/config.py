@@ -248,6 +248,11 @@ def get_default_cfg() -> AttrDict:
     # the kernel roofline). No calibration/checkpoint conversion needed;
     # deviation bounds pinned in tests/test_int8_eval.py. Default off.
     c.TPU.EVAL_INT8 = False
+    # GEMM (im2col) spelling of the MaskFuse head conv: identical params
+    # and math; avoids XLA:CPU's naive weight-grad conv fallback (88 s/
+    # execution measured at a tiny shape). Used by the same-silicon CPU
+    # anchor (tools/bench_train_cpu.py); off on TPU (MXU conv is optimal).
+    c.TPU.CONV_IM2COL = False
     # fused TTA: ship the ORIGINAL image once and derive all TTA passes
     # on-device in one compiled program (engine.test._fused_forward)
     c.TPU.FUSED_TTA = True

@@ -60,6 +60,7 @@ class CIMModel(nn.Module):
     use_pallas_roi_align: bool = False
     compute_dtype: Any = jnp.float32
     int8_eval: bool = False  # dynamic w8a8 head matmuls (eval-only)
+    conv_im2col: bool = False  # GEMM spelling of the head conv (CPU anchor)
 
     def setup(self):
         try:
@@ -92,6 +93,7 @@ class CIMModel(nn.Module):
             use_pallas=self.use_pallas_roi_align,
             dtype=self.compute_dtype,
             int8_eval=self.int8_eval,
+            conv_im2col=self.conv_im2col,
             name="box_head",
         )
         self.cls_iou = ClsIouHead(
@@ -149,6 +151,7 @@ def build_model(cfg, eval_int8: bool = False) -> CIMModel:
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
         remat_box_head=cfg.TPU.REMAT_BOX_HEAD,
         use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
+        conv_im2col=cfg.TPU.CONV_IM2COL,
         compute_dtype=jnp.bfloat16
         if cfg.TPU.PRECISION == "bf16_compute"
         else jnp.float32,

@@ -81,6 +81,54 @@ class _Int8Conv(nn.Module):
         return y.astype(self.out_dtype) if self.out_dtype is not None else y
 
 
+class _Im2ColConv(nn.Module):
+    """Param-compatible stand-in for nn.Conv (NHWC, HWIO) spelled as patch
+    extraction + one GEMM, so forward AND both gradients lower to
+    dot_generals.
+
+    Why it exists: XLA:CPU's Eigen fast path covers only the canonical
+    forward conv layout; the weight-gradient conv it emits for this op
+    (dim_labels f01b_i01o->01bf) falls back to a naive scalar loop —
+    measured 88 s/execution for the MaskFuse head conv at a tiny anchor
+    shape, ~340x the forward pass. The GEMM spelling is the same math
+    (identical params, bit-identical init) and is what TPU/GPU backends
+    do internally (implicit-GEMM convolution), so it is a fair spelling
+    for the same-silicon CPU anchor (tools/bench_train_cpu.py). Off by
+    default: the XLA:TPU conv already runs on the MXU at full rate."""
+
+    features: int
+    kernel_size: Any
+    padding: int
+    kernel_init: Any
+    bias_init: Any
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, cin, self.features)
+        )
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        p = self.padding
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        oh = x.shape[1] + 2 * p - kh + 1
+        ow = x.shape[2] + 2 * p - kw + 1
+        # (i, j)-major, channel-minor patch layout == row-major reshape of
+        # the HWIO kernel
+        patches = jnp.concatenate(
+            [xp[:, i:i + oh, j:j + ow, :] for i in range(kh) for j in range(kw)],
+            axis=-1,
+        )
+        y = patches.reshape(-1, kh * kw * cin) @ kernel.reshape(-1, self.features)
+        return y.reshape(x.shape[0], oh, ow, self.features) + bias
+
+
 class TorchLinear(nn.Module):
     """nn.Dense with pytorch default init (weight and bias U(-1/√fan_in, ·)).
 
@@ -118,6 +166,7 @@ class TorchConv(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     int8: bool = False  # dynamic w8a8 conv (eval-only, cfg.TPU.EVAL_INT8)
+    im2col: bool = False  # GEMM spelling (CPU anchor; see _Im2ColConv)
 
     @nn.compact
     def __call__(self, x):
@@ -128,6 +177,13 @@ class TorchConv(nn.Module):
             return _Int8Conv(
                 self.features, self.kernel_size, padding=self.padding,
                 kernel_init=init, bias_init=init, out_dtype=self.dtype,
+                name="conv",
+            )(x)
+        if self.im2col:
+            assert self.strides == (1, 1) and self.dilation == 1 and self.use_bias
+            return _Im2ColConv(
+                self.features, self.kernel_size, padding=self.padding,
+                kernel_init=init, bias_init=init, dtype=self.dtype,
                 name="conv",
             )(x)
         pad = ((self.padding, self.padding), (self.padding, self.padding))

@@ -37,6 +37,9 @@ class MaskFuse(nn.Module):
     # dynamic w8a8 for the conv + fc1 (the head's dominant FLOPs; v5e int8
     # MXU = 2x bf16). Eval-only — round() kills gradients (ops/quant.py)
     int8_eval: bool = False
+    # GEMM spelling of the conv (cfg.TPU.CONV_IM2COL): same math/params;
+    # avoids XLA:CPU's naive weight-grad conv fallback (layers._Im2ColConv)
+    conv_im2col: bool = False
 
     dim_out: int = 4096
 
@@ -89,7 +92,8 @@ class MaskFuse(nn.Module):
         mask_x = box_x * masks
         x = jnp.concatenate([box_x, mask_x], axis=-1)  # (N, 7, 7, 2C)
         x = TorchConv(self.dim_in, (3, 3), padding=1, dtype=self.dtype,
-                      int8=self.int8_eval, name="mask_branch")(x)
+                      int8=self.int8_eval, im2col=self.conv_im2col,
+                      name="mask_branch")(x)
         x = nn.relu(x)
         # match the torch NCHW flatten order (C, H, W) for weight-porting
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)

@@ -175,6 +175,12 @@ def time_ours(args, batch):
     cfg = clone_cfg(load_cfg(os.path.join(REPO, "configs", "resnet50_voc.yaml")))
     cfg.TPU.DATA_PARALLEL = 1
     cfg.TPU.PALLAS_ROI_ALIGN = False  # CPU: XLA RoIAlign path
+    # GEMM spelling of the head conv: XLA:CPU's weight-grad conv for the
+    # canonical spelling falls back to a naive scalar loop (measured
+    # 88 s/execution — 94% of the whole step); the GEMM spelling is the
+    # same math on the same silicon and is what cuDNN does for the torch
+    # side anyway (implicit GEMM). See layers._Im2ColConv.
+    cfg.TPU.CONV_IM2COL = True
     cfg.TPU.REMAT_BOX_HEAD = False
     cfg.TPU.PRECISION = "f32"  # torch CPU is f32; compare like for like
     cfg.TPU.PROPOSAL_PAD = args.n_pad
