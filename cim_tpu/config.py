@@ -211,12 +211,14 @@ def get_default_cfg() -> AttrDict:
     c.TPU.PRECISION = "bf16_compute"  # params f32, matmul compute bf16
     c.TPU.PROPOSAL_PAD = 4096  # N_max: proposals padded/capped per image
     # image-bucket granularity: canvases pad to the next multiple (one
-    # compiled program per bucket). 128 keeps the bucket count low; 64
-    # measured +1.7% protocol train throughput (9.13 vs 8.97 img/s;
-    # +4% at the 688 scale, neutral at 1200 where 128-aligned dims tile
-    # better) at the cost of ~2x more compiled shapes on real
-    # aspect-ratio mixes.
-    c.TPU.PAD_MULTIPLE = 128
+    # compiled program per bucket). Round-5 full-protocol A/B on chip
+    # (BENCH_r05 vs same-session pad-128 run): 64 wins at EVERY scale —
+    # protocol 9.20 vs 8.99 img/s (+2.3%), the slowest 1200 bucket
+    # [960,1216] vs [1024,1280] 7.88 vs 7.61 img/s (model MFU 0.669 vs
+    # 0.646), 4096-proposal worst case 4.23 vs 4.13 — at the cost of
+    # ~2x more compiled shapes on real aspect-ratio mixes (amortized by
+    # the persistent .jax_cache over production horizons).
+    c.TPU.PAD_MULTIPLE = 64
     # proposal-count buckets: each image pads to the smallest bucket >= its
     # proposal count (<= PROPOSAL_PAD). Typical VOC images carry ~2000 COB
     # proposals, so a flat 4096 pad wastes ~2x of the dominant head FLOPs;

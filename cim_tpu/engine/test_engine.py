@@ -94,9 +94,13 @@ def test_net(
     ind_range=None,
     check_corloc=False,
     image_loader=None,
+    evaluator=None,
 ):
     """Single-device dataset loop. image_loader(entry) -> BGR image
-    (injectable for tests; defaults to cv2.imread)."""
+    (injectable for tests; defaults to cv2.imread). evaluator: a prebuilt
+    (Batched)Evaluator to reuse across calls — its jit closures are
+    per-instance, so reuse skips the one-time trace/lower warmup
+    (multi-dataset eval, steady-state benchmarks)."""
     roidb, dataset, start_ind, end_ind, total_num_images = (
         get_roidb_and_dataset(cfg, dataset_name, proposal_file, ind_range)
     )
@@ -138,8 +142,9 @@ def test_net(
                 )
             mesh = data_parallel_mesh(None if n_dev < 0 else min(n_dev, local))
             logger.info("eval mesh: %d devices", mesh.devices.size)
-        evaluator = BatchedEvaluator(cfg, model, variables, eval_batch,
-                                     mesh=mesh)
+        if evaluator is None:
+            evaluator = BatchedEvaluator(cfg, model, variables, eval_batch,
+                                         mesh=mesh)
         window = 4 * evaluator.batch_size
         for w0 in range(0, num_images, window):
             chunk = roidb[w0 : w0 + window]
@@ -166,7 +171,8 @@ def test_net(
                 "TPU.EVAL_DEVICES has no effect with TPU.EVAL_BATCH <= 1; "
                 "running the sequential single-device evaluator"
             )
-        evaluator = Evaluator(cfg, model, variables)
+        if evaluator is None:
+            evaluator = Evaluator(cfg, model, variables)
         for i, entry in enumerate(roidb):
             im = image_loader(entry)
             timers["im_detect_bbox"].tic()

@@ -57,10 +57,29 @@ def run_e2e(cfg, trainer, variables, args):
     cfg.TPU.EVAL_BATCH = args.eval_batch
 
     out_dir = os.path.join(data_dir, "out")
+    # Warm pass with a SHARED evaluator: trace/lower + compile (or
+    # persistent-cache load) of the fused TTA buckets is per-evaluator
+    # and one-time; the reference amortizes the same warmup over its ~5k
+    # test images (lib/core/test_engine.py:269-310), so the steady-state
+    # second pass is the comparable number. Warmup reported separately.
+    from cim_tpu.engine.test import BatchedEvaluator
+
+    evaluator = (
+        BatchedEvaluator(cfg, trainer.model, variables, args.eval_batch)
+        if args.eval_batch > 1 else None
+    )
+    tw = time.time()
+    test_net(
+        cfg, trainer.model, variables, "bench_e2e",
+        os.path.join(data_dir, "props.pkl"), out_dir + "_warm",
+        evaluator=evaluator,
+    )
+    t_warmup_total = time.time() - tw
     t0 = time.time()
     all_scores, roidb, dataset = test_net(
         cfg, trainer.model, variables, "bench_e2e",
         os.path.join(data_dir, "props.pkl"), out_dir,
+        evaluator=evaluator,
     )
     t_detect = time.time() - t0
     all_boxes = post_process_results(cfg, all_scores, roidb, dataset)
@@ -96,6 +115,7 @@ def run_e2e(cfg, trainer, variables, args):
         "passes": n_passes,
         "eval_batch": args.eval_batch,
         "s_per_image_e2e": round(total / args.n_images, 3),
+        "one_time_warmup_s": round(t_warmup_total - total, 3),
         "breakdown_s_per_image": {
             "tta_detect_incl_overlapped_nms": round(t_detect / args.n_images, 3),
             "box_eval": round(t_boxeval / args.n_images, 3),
