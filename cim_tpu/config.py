@@ -238,6 +238,14 @@ def get_default_cfg() -> AttrDict:
     # loader asserts per-image label counts fit the budget.
     c.TPU.MINING_CLASS_BUDGET = 0
     c.TPU.REMAT_BACKBONE = False  # jax.checkpoint the conv body
+    # space-to-depth stem (MLPerf ResNet trick): compute the 7x7/s2 C=3
+    # stem conv as a 4x4/s1 conv on a 2x2 space-to-depth input (C=12).
+    # Arithmetic-identical re-layout of the SAME parameter (no checkpoint
+    # or weight-loader change); C=3 feeds the 256-lane MXU at ~2% input
+    # utilization, C=12 at 4x that. Applies only to even H/W buckets
+    # (PAD_MULTIPLE=64 guarantees this); odd shapes fall back. resnet50
+    # bodies only.
+    c.TPU.SPACE_TO_DEPTH_STEM = False
     c.TPU.GRAD_ACCUM = 4  # reference iter_size (tools/train.py:84-86)
     # eval: TTA passes of EVAL_BATCH images stacked per vmapped forward;
     # 8 measured 0.393 s/image vs 0.423 at 4 (the per-pass optimization

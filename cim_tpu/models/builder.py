@@ -61,6 +61,7 @@ class CIMModel(nn.Module):
     compute_dtype: Any = jnp.float32
     int8_eval: bool = False  # dynamic w8a8 head matmuls (eval-only)
     conv_im2col: bool = False  # GEMM spelling of the head conv (CPU anchor)
+    s2d_stem: bool = False  # space-to-depth resnet stem (TPU; same params)
 
     def setup(self):
         try:
@@ -75,10 +76,17 @@ class CIMModel(nn.Module):
                 ctor = BACKBONES[self.conv_body]
             except (ImportError, KeyError):
                 raise ValueError(f"Unknown CONV_BODY: {self.conv_body}")
+        body_kwargs = {}
+        if self.s2d_stem and "s2d_stem" in getattr(
+            ctor, "__dataclass_fields__", {}
+        ):
+            body_kwargs["s2d_stem"] = True  # resnet bodies only
         if self.remat_backbone:
             # trade FLOPs for HBM on large TTA scales (jax.checkpoint)
             ctor = nn.remat(ctor)
-        self.backbone = ctor(dtype=self.compute_dtype, name="conv_body")
+        self.backbone = ctor(
+            dtype=self.compute_dtype, name="conv_body", **body_kwargs
+        )
         # remat the box head: its RoIAlign/concat intermediates dominate
         # HBM at N_max proposals; recompute in backward instead of saving
         head_ctor = nn.remat(MaskFuse) if self.remat_box_head else MaskFuse
@@ -152,6 +160,7 @@ def build_model(cfg, eval_int8: bool = False) -> CIMModel:
         remat_box_head=cfg.TPU.REMAT_BOX_HEAD,
         use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
         conv_im2col=cfg.TPU.CONV_IM2COL,
+        s2d_stem=bool(cfg.TPU.get("SPACE_TO_DEPTH_STEM", False)),
         compute_dtype=jnp.bfloat16
         if cfg.TPU.PRECISION == "bf16_compute"
         else jnp.float32,

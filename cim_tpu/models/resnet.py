@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
+import jax.numpy as jnp
 
 from cim_tpu.models.layers import (
     FrozenBatchNorm,
@@ -23,7 +25,77 @@ from cim_tpu.models.layers import (
     ceil_div_hw,
     mask_valid_hw,
     max_pool_torch,
+    torch_kaiming_uniform,
 )
+
+
+class _StemKernel(nn.Module):
+    """Owns the stem conv kernel at the exact param path TorchConv would
+    create (``<parent>/conv/kernel``), so checkpoints, the torch weight
+    loader and the optimizer mask are identical whichever stem path runs."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        fan_in = self.shape[0] * self.shape[1] * self.shape[2]
+        return self.param(
+            "kernel", torch_kaiming_uniform(fan_in), tuple(self.shape),
+            jnp.float32,
+        )
+
+
+class S2DStemConv(nn.Module):
+    """7x7/s2/p3 bias-free stem conv computed as a 4x4/s1 conv on the 2x2
+    space-to-depth input (MLPerf ResNet space-to-depth optimization).
+
+    Exactly the same arithmetic as the plain conv, re-laid-out: every
+    output tap reads the same 7x7xC window of the same image through the
+    same weights — only the loop order the MXU sees changes. C_in=3 leaves
+    a 7x7 conv's systolic-array input lanes ~99% idle; folding the 2x2
+    pixel block into channels (C_in=12, 4x4 kernel) quadruples that and
+    halves the spatial extent XLA must tile. Derivation: with
+    u = 2i + di - 3 written as 2(i+s) + a (a in {0,1}), di in 0..6 maps to
+    (s, a) in {-2..1}x{0,1} minus (-2, 0) — i.e. the 7x7 kernel padded
+    top/left by one zero row/col, viewed as 4x4 blocks of 2x2 parities,
+    convolved stride-1 over space-to-depth(x) with asymmetric pad (2, 1).
+
+    Odd H/W inputs are zero-padded to even first — bit-identical, because
+    the rows/cols a 7x7/p3 conv reads past the image are zeros either way
+    (conv zero-padding vs explicit zeros). The parameter stays the
+    canonical (7, 7, C, F) tensor; the re-layout happens under jit where
+    XLA constant-folds it once per compile.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            x = jnp.pad(
+                x, ((0, 0), (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, 0))
+            )
+        n, h, w, c = x.shape
+        kernel = _StemKernel((7, 7, c, self.features), name="conv")()
+        # input: (N, H, W, C) -> (N, H/2, W/2, 4C), channel = (a*2+b)*C + ch
+        y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # kernel: zero-pad 7x7 -> 8x8 at top/left (the absent (s=-2, a=0)
+        # tap), then the same block-of-parities re-layout as the input
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = (
+            k8.reshape(4, 2, 4, 2, c, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.features)
+        )
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
+            k4 = k4.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            y, k4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class Bottleneck(nn.Module):
@@ -86,6 +158,7 @@ class ResNet50C4(nn.Module):
 
     block_counts: Sequence[int] = (3, 4, 6)
     dtype: Any = None
+    s2d_stem: bool = False  # cfg.TPU.SPACE_TO_DEPTH_STEM (see S2DStemConv)
 
     dim_out: int = 1024
     spatial_scale: float = 1.0 / 16.0
@@ -94,10 +167,13 @@ class ResNet50C4(nn.Module):
     def __call__(self, x, valid_hw=None):
         # res1: 7x7/2 + maxpool 3x3/2 (image pad is exact zeros -> the
         # bias-free conv needs no input mask; BN output does, before pool)
-        x = TorchConv(
-            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-            dtype=self.dtype, name="res1_conv",
-        )(x)
+        if self.s2d_stem:
+            x = S2DStemConv(64, dtype=self.dtype, name="res1_conv")(x)
+        else:
+            x = TorchConv(
+                64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                dtype=self.dtype, name="res1_conv",
+            )(x)
         x = FrozenBatchNorm(64, name="res1_bn")(x)
         x = nn.relu(x)
         valid_hw = ceil_div_hw(valid_hw, 2)

@@ -35,9 +35,17 @@ def main():
     ap.add_argument("--n_valid", type=int, default=2000)
     ap.add_argument("--image_hw", type=int, nargs=2, default=(384, 512))
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--set", dest="set_cfgs", nargs="+", default=None,
+        help="cfg KEY VALUE pairs (cfg_from_list), applied after the yaml",
+    )
     args = ap.parse_args()
 
     cfg = clone_cfg(load_cfg(args.cfg))
+    if args.set_cfgs:
+        from cim_tpu.config import cfg_from_list
+
+        cfg_from_list(cfg, args.set_cfgs)
     cfg.TPU.DATA_PARALLEL = 1
     cfg.TPU.PALLAS_ROI_ALIGN = jax.default_backend() != "cpu"
     cfg.TPU.REMAT_BOX_HEAD = False
